@@ -1,0 +1,58 @@
+"""three_nn / three_interpolate and gather/group ops as XLA primitives.
+
+The reference implements these as CUDA kernels with atomicAdd backward passes
+(pointnet2/_ext_src/src/interpolate_gpu.cu, group_points_gpu.cu,
+sampling_gpu.cu:13-62). On TPU, XLA's gather and its autodiff-derived
+scatter-add are already near-optimal for these shapes (m <= 512, n <= 1024),
+so no Pallas is needed — and unlike the CUDA atomics, the gradients are
+deterministic.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .reference import three_nn_ref
+
+three_nn = jax.jit(three_nn_ref)
+
+
+def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """points (B, N, C), idx (B, S) -> (B, S, C).
+
+    Channel-last equivalent of the reference's gather_points
+    (sampling_gpu.cu:13-62, which is (B, C, N) x (B, S) -> (B, C, S)).
+    """
+    return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)
+
+
+def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
+    """points (B, N, C), idx (B, S, K) -> (B, S, K, C).
+
+    Channel-last equivalent of group_points (group_points_gpu.cu:13-80).
+    """
+    B, S, K = idx.shape
+    flat = gather_points(points, idx.reshape(B, S * K))
+    return flat.reshape(B, S, K, points.shape[-1])
+
+
+def three_interpolate(feats: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
+    """feats (B, m, C), idx (B, n, 3), weight (B, n, 3) -> (B, n, C).
+
+    Weighted 3-NN feature interpolation (interpolate_gpu.cu:77-159).
+    """
+    gathered = group_points(feats, idx)  # (B, n, 3, C)
+    return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def interpolate_features(unknown_xyz: jax.Array, known_xyz: jax.Array,
+                         known_feats: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Full FP-module interpolation: 3-NN inverse-distance weighting.
+
+    Matches PointnetFPModule's weighting (pointnet2_modules.py:393-401):
+    w_i = (1/d_i) / sum_j (1/d_j) with d = dist^2 + 1e-8.
+    """
+    dist2, idx = three_nn(unknown_xyz, known_xyz)
+    recip = 1.0 / (dist2 + eps)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return three_interpolate(known_feats, idx, weight)

@@ -1,0 +1,25 @@
+"""Test env: force the CPU backend with 8 virtual devices so multi-chip
+sharding is exercised without TPU hardware.
+
+Note: this environment preloads jax via sitecustomize (axon TPU tunnel), so
+plain env vars are too late — use jax.config before any device access.
+Pallas kernels detect the CPU backend and run in interpreter mode.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,156 @@
+"""Kernel-tier tests: Pallas kernels vs pure-jnp/numpy oracles.
+
+The numpy oracles here re-state the reference CUDA semantics independently
+(SURVEY.md §2.1); the jnp references in ops/reference.py are tested against
+them, and the Pallas kernels against the jnp references (interpret mode on
+CPU, compiled on TPU).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni_pq_tpu import ops
+
+
+def np_fps(xyz, npoint):
+    """Numpy oracle: seed idx 0, skip ||p||^2<=1e-3, maximize running min-dist."""
+    B, N, _ = xyz.shape
+    out = np.zeros((B, npoint), dtype=np.int32)
+    for b in range(B):
+        valid = (xyz[b] ** 2).sum(-1) > 1e-3
+        mind = np.full(N, 1e10)
+        last = 0
+        for i in range(1, npoint):
+            d = ((xyz[b] - xyz[b, last]) ** 2).sum(-1)
+            mind = np.minimum(mind, d)
+            score = np.where(valid, mind, -1.0)
+            last = int(np.argmax(score))
+            out[b, i] = last
+    return out
+
+
+def np_ball_query(radius, nsample, xyz, new_xyz):
+    B, N, _ = xyz.shape
+    S = new_xyz.shape[1]
+    out = np.zeros((B, S, nsample), dtype=np.int32)
+    for b in range(B):
+        for s in range(S):
+            d2 = ((xyz[b] - new_xyz[b, s]) ** 2).sum(-1)
+            hits = np.where(d2 < radius * radius)[0][:nsample]
+            if len(hits) == 0:
+                continue
+            row = np.full(nsample, hits[0], dtype=np.int32)
+            row[:len(hits)] = hits
+            out[b, s] = row
+    return out
+
+
+class TestFPS:
+    def test_ref_matches_numpy(self, rng):
+        xyz = rng.normal(size=(2, 100, 3)).astype(np.float32) + 2.0
+        np.testing.assert_array_equal(np.asarray(ops.fps_ref(jnp.asarray(xyz), 16)),
+                                      np_fps(xyz, 16))
+
+    def test_skips_origin_padding(self, rng):
+        xyz = rng.normal(size=(1, 64, 3)).astype(np.float32) + 2.0
+        xyz[:, 40:] = 0.0  # padding at origin
+        idx = np.asarray(ops.fps_ref(jnp.asarray(xyz), 20))
+        assert idx.max() < 40
+
+    def test_pallas_matches_ref(self, rng):
+        xyz = rng.normal(size=(3, 533, 3)).astype(np.float32) + 2.0
+        got = np.asarray(ops.fps(jnp.asarray(xyz), 64))
+        want = np.asarray(ops.fps_ref(jnp.asarray(xyz), 64))
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_large_batch_chunking(self, rng):
+        xyz = rng.normal(size=(11, 300, 3)).astype(np.float32) + 2.0
+        got = np.asarray(ops.fps(jnp.asarray(xyz), 32))
+        want = np.asarray(ops.fps_ref(jnp.asarray(xyz), 32))
+        np.testing.assert_array_equal(got, want)
+
+    def test_spread(self, rng):
+        # selected points should be well-spread: min pairwise distance of the
+        # FPS subset must exceed that of a random subset
+        xyz = rng.uniform(size=(1, 512, 3)).astype(np.float32) + 1.0
+        idx = np.asarray(ops.fps(jnp.asarray(xyz), 32))[0]
+        sel = xyz[0, idx]
+        d = ((sel[:, None] - sel[None]) ** 2).sum(-1)
+        np.fill_diagonal(d, 1e9)
+        rand = xyz[0, rng.choice(512, 32, replace=False)]
+        dr = ((rand[:, None] - rand[None]) ** 2).sum(-1)
+        np.fill_diagonal(dr, 1e9)
+        assert d.min() > dr.min()
+
+
+class TestBallQuery:
+    def test_ref_matches_numpy(self, rng):
+        xyz = rng.uniform(size=(2, 200, 3)).astype(np.float32)
+        ctr = xyz[:, :30]
+        got = np.asarray(ops.ball_query_ref(0.2, 8, jnp.asarray(xyz), jnp.asarray(ctr)))
+        np.testing.assert_array_equal(got, np_ball_query(0.2, 8, xyz, ctr))
+
+    def test_pallas_matches_ref(self, rng):
+        # large enough to take the Pallas path (N*S > 256k)
+        xyz = rng.uniform(size=(2, 2000, 3)).astype(np.float32) * 3
+        ctr = xyz[:, :200]
+        got = np.asarray(ops.ball_query(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
+        want = np.asarray(ops.ball_query_ref(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_no_hits_gives_zero(self):
+        xyz = jnp.ones((1, 100, 3)) * 5.0
+        ctr = jnp.zeros((1, 10, 3))
+        got = np.asarray(ops.ball_query_ref(0.1, 4, xyz, ctr))
+        np.testing.assert_array_equal(got, np.zeros((1, 10, 4), np.int32))
+
+
+class TestInterpolate:
+    def test_three_nn(self, rng):
+        unk = rng.normal(size=(2, 50, 3)).astype(np.float32)
+        kno = rng.normal(size=(2, 20, 3)).astype(np.float32)
+        d2, idx = ops.three_nn(jnp.asarray(unk), jnp.asarray(kno))
+        d2, idx = np.asarray(d2), np.asarray(idx)
+        full = ((unk[:, :, None] - kno[:, None]) ** 2).sum(-1)
+        want_idx = np.argsort(full, axis=-1)[..., :3]
+        np.testing.assert_array_equal(np.sort(idx, -1), np.sort(want_idx, -1))
+        np.testing.assert_allclose(d2, np.sort(full, -1)[..., :3], rtol=1e-5)
+
+    def test_interpolate_weights_sum(self, rng):
+        unk = rng.normal(size=(1, 30, 3)).astype(np.float32)
+        kno = rng.normal(size=(1, 10, 3)).astype(np.float32)
+        feats = np.ones((1, 10, 4), np.float32)
+        out = ops.interpolate_features(jnp.asarray(unk), jnp.asarray(kno),
+                                       jnp.asarray(feats))
+        np.testing.assert_allclose(np.asarray(out), 1.0, rtol=1e-5)
+
+    def test_interpolate_grad(self, rng):
+        # deterministic scatter-add gradient (vs the reference's atomicAdd)
+        kno = jnp.asarray(rng.normal(size=(1, 10, 3)).astype(np.float32))
+        unk = jnp.asarray(rng.normal(size=(1, 30, 3)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(1, 10, 4)).astype(np.float32))
+        f = lambda x: jnp.sum(ops.interpolate_features(unk, kno, x) ** 2)
+        g = jax.grad(f)(feats)
+        eps = 1e-3
+        fd = (f(feats.at[0, 3, 2].add(eps)) - f(feats.at[0, 3, 2].add(-eps))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[0, 3, 2], np.asarray(fd), rtol=1e-2)
+
+
+class TestNNDistance:
+    def test_against_loops(self, rng):
+        a = rng.normal(size=(1, 5, 3)).astype(np.float32)
+        b = rng.normal(size=(1, 7, 3)).astype(np.float32)
+        d1, i1, d2, i2 = ops.nn_distance(jnp.asarray(a), jnp.asarray(b))
+        full = ((a[:, :, None] - b[:, None]) ** 2).sum(-1)
+        np.testing.assert_allclose(np.asarray(d1), full.min(2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(d2), full.min(1), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), full.argmin(2))
+        np.testing.assert_array_equal(np.asarray(i2), full.argmin(1))
+
+    def test_l1(self, rng):
+        a = rng.normal(size=(1, 4, 3)).astype(np.float32)
+        b = rng.normal(size=(1, 6, 3)).astype(np.float32)
+        d1, _, _, _ = ops.nn_distance(jnp.asarray(a), jnp.asarray(b), l1=True)
+        full = np.abs(a[:, :, None] - b[:, None]).sum(-1)
+        np.testing.assert_allclose(np.asarray(d1), full.min(2), rtol=1e-5)
