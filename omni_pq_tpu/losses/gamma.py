@@ -1,0 +1,227 @@
+"""Gamma-mixture pseudo-label harvesting — fully on device (jnp, jittable).
+
+Rebuilds models/utils/gamma_mixture_loss_util.py (quad_point_mixture_metric
+:27-127, gamma_mixture_guide_criterion :130-192) and fit.py's 2-component
+Gamma mixture EM (fit.py:39-46, 86-112) without any host round trip: the
+reference calls scipy's root-solver per scene per step on CPU
+(gamma_mixture_loss_util.py:63-69); here the EM is a fixed-iteration
+`lax.fori_loop` with Newton steps on log(a)-digamma(a), and the per-scene
+random quad choice / point downsample use threaded PRNG keys so the whole
+loss lives inside one jitted graph.
+
+IMPORTANT semantic note (discovered reading fit.py:152-174): the reference's
+`fit_gamma` runs 25 EM steps on a *FitRunner's own* distribution copies, but
+then labels points with the outer `dist_a`/`dist_b` objects which still hold
+the INITIAL parameters (a1=2,b1=20 / a2=3,b2=1, weight=0.1) — the fit never
+influences the keep-mask. The effective reference criterion is therefore the
+fixed closed-form test  0.1*Gamma(2,20).pdf(d) >= 0.9*Gamma(3,1).pdf(d).
+Default behavior reproduces this exactly (`use_fitted_mixture=False`, no EM
+executed — the reference's EM is dead compute); set it to True to use the
+actually-fitted mixture (the paper's stated intent), which runs the on-device
+EM.
+
+Second deviation (documented): the reference's `quad_size[0] /= 1.5`
+(gamma_mixture_loss_util.py:29) mutates the model's end_points tensor
+in-place, leaking the shrunken width into the consistency loss computed
+afterwards; here the shrink is applied locally to the metric only.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import digamma, gammaln
+
+from ..ops.nn_distance import smoothl1_loss
+
+GM_CLIP = 0.85
+CONF_THRESH = 0.1
+MIN_KEPT = 300
+INIT_A1, INIT_B1 = 2.0, 20.0
+INIT_A2, INIT_B2 = 3.0, 1.0
+INIT_WEIGHT = 0.1
+
+
+def gamma_logpdf(x, a, b):
+    """log Gamma(a, rate b) pdf: a*log b - lgamma(a) - b*x + (a-1)*log x."""
+    return a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(x) - b * x
+
+
+def _em_component_step(x, prob, a_prev):
+    """One weighted EM M-step for a Gamma component (fit.py:39-46): solve
+    log(a) - digamma(a) = log(wmean(x)) - wmean(log x) by Newton, b = a/mean."""
+    psum = jnp.sum(prob)
+    wx = jnp.sum(prob * x) / psum
+    wlogx = jnp.sum(prob * jnp.log(x)) / psum
+    target = jnp.log(wx) - wlogx
+    coef = psum / jnp.maximum(jnp.sum(prob * x), 1e-8)
+
+    def newton(_, a):
+        f = jnp.log(a + 1e-5) - digamma(a + 1e-5) - target
+        # f' = 1/(a+eps) - trigamma(a+eps); trigamma via series-free jax
+        fp = 1.0 / (a + 1e-5) - jax.scipy.special.polygamma(1, a + 1e-5)
+        a_new = a - f / fp
+        return jnp.clip(a_new, 1e-3, 1e4)
+
+    a = jax.lax.fori_loop(0, 12, newton, a_prev)
+    return a, a * coef
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def gamma_mixture_em(x, a1=INIT_A1, b1=INIT_B1, a2=INIT_A2, b2=INIT_B2,
+                     weight=0.5, steps: int = 25):
+    """Fixed-iteration EM for a 2-component Gamma mixture on |x| (fit.py:86-112).
+
+    Returns (a1, b1, a2, b2, weight) after `steps` EM iterations."""
+    x = jnp.abs(x) + 1e-12
+
+    def step(_, carry):
+        a1, b1, a2, b2, w = carry
+        lp_a = gamma_logpdf(x, a1, b1) + jnp.log(w)
+        lp_b = gamma_logpdf(x, a2, b2) + jnp.log(1.0 - w)
+        m = jnp.maximum(lp_a, lp_b)
+        pa = jnp.exp(lp_a - m)
+        pb = jnp.exp(lp_b - m)
+        tot = pa + pb
+        prob_a = pa / tot
+        prob_b = pb / tot
+        w_new = jnp.mean(prob_a)
+        a1n, b1n = _em_component_step(x, prob_a, a1)
+        a2n, b2n = _em_component_step(x, prob_b, a2)
+        return a1n, b1n, a2n, b2n, jnp.clip(w_new, 1e-4, 1.0 - 1e-4)
+
+    return jax.lax.fori_loop(0, steps, step,
+                             (jnp.float32(a1), jnp.float32(b1),
+                              jnp.float32(a2), jnp.float32(b2),
+                              jnp.float32(weight)))
+
+
+def mixture_keep_mask(dist, use_fitted: bool = False):
+    """Reference fit_gamma labeling (fit.py:163-174): keep points where
+    weight*pdf_a(d) >= (1-weight)*pdf_b(d). With use_fitted=False this uses
+    the initial parameters — exactly what the reference effectively does."""
+    d = jnp.abs(dist) + 1e-12
+    if use_fitted:
+        a1, b1, a2, b2, w = gamma_mixture_em(d, INIT_A1, INIT_B1, INIT_A2,
+                                             INIT_B2, INIT_WEIGHT, 25)
+    else:
+        a1, b1, a2, b2, w = (INIT_A1, INIT_B1, INIT_A2, INIT_B2, INIT_WEIGHT)
+    lhs = jnp.log(w) + gamma_logpdf(d, a1, b1)
+    rhs = jnp.log1p(-w) + gamma_logpdf(d, a2, b2)
+    return lhs >= rhs
+
+
+def masked_quantile(values, mask, q):
+    """torch.quantile with linear interpolation, over values[mask] only."""
+    big = jnp.float32(3.4e38)
+    v = jnp.where(mask, values, big)
+    v = jnp.sort(v)
+    n = jnp.sum(mask.astype(jnp.int32))
+    pos = q * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.ceil(pos).astype(jnp.int32)
+    frac = pos - lo.astype(jnp.float32)
+    return v[lo] * (1.0 - frac) + v[hi] * frac
+
+
+def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
+                  pc, pn, key, use_fitted: bool):
+    """Per-scene mixture metrics for one randomly chosen confident quad
+    (quad_point_mixture_metric :27-127). Returns 4 scalars."""
+    kq, kd = jax.random.split(key)
+    p = jax.nn.softmax(quad_scores, axis=-1)[:, 1]
+    conf_mask = p > CONF_THRESH
+    has_quad = jnp.any(conf_mask)
+    # uniform choice among confident quads via gumbel-max over the mask
+    g = jax.random.gumbel(kq, conf_mask.shape)
+    ind = jnp.argmax(jnp.where(conf_mask, g, -jnp.inf))
+
+    score = quad_scores[ind]
+    center = quad_center[ind]
+    normal = normal_vector[ind]
+    size = quad_size[ind] * jnp.array([1.0 / 1.5, 1.0])  # local width shrink
+
+    K = 10000
+    N = pc.shape[0]
+    ds = jax.random.randint(kd, (K,), 0, N)
+    pc_ds = pc[ds]
+    pn_ds = pn[ds]
+
+    n2 = normal[:2] / jax.lax.stop_gradient(
+        jnp.linalg.norm(normal[:2]) + 1e-12)
+    n3 = jnp.concatenate([n2, jnp.zeros((1,))])
+
+    pn_hat = pn_ds / jnp.clip(jnp.linalg.norm(pn_ds, axis=1, keepdims=True),
+                              1e-5)
+    distance_cosine = 1.0 - jnp.abs(pn_hat @ n3)
+
+    offset = pc_ds - center
+    vertical = jnp.abs(offset @ jax.lax.stop_gradient(n3))
+
+    z_dir = jnp.array([0.0, 0.0, 1.0])
+    x_dir = jnp.cross(z_dir, n3)
+    x_dis = jnp.abs(offset @ x_dir)
+    z_dis = jnp.abs(offset @ z_dir)
+    size_a = jnp.linalg.norm(
+        jax.nn.relu(2.0 * jnp.stack([x_dis, z_dis], axis=1) - size), axis=-1)
+
+    total = 2.5 * distance_cosine + 0.2 * size_a ** 2 + 0.5 * vertical
+
+    keep = mixture_keep_mask(jax.lax.stop_gradient(total), use_fitted)
+    cnt = jnp.sum(keep.astype(jnp.int32))
+    enough = cnt >= MIN_KEPT
+    valid = has_quad & enough
+    keepf = keep.astype(jnp.float32)
+    cntf = jnp.maximum(cnt.astype(jnp.float32), 1.0)
+
+    est_n2 = jnp.sum(pn_ds[:, :2] * keepf[:, None], axis=0) / cntf
+    est_n3 = jnp.concatenate([est_n2, jnp.zeros((1,))])
+    est_n3 = est_n3 / (jnp.linalg.norm(est_n3) + 1e-12)
+    # the reference takes .item() here — a constant, no gradient (:91-93)
+    metric_normal = jax.lax.stop_gradient(1.0 - jnp.abs(est_n3 @ n3))
+
+    v_eps = masked_quantile(jax.lax.stop_gradient(vertical), keep, GM_CLIP)
+    metric_vertical = jnp.sum(
+        vertical * keepf * (vertical < v_eps).astype(jnp.float32)) / cntf
+
+    kept_mean = jnp.sum(pc_ds * keepf[:, None], axis=0) / cntf
+    offset2 = pc_ds - kept_mean
+    x_dis2 = jnp.abs(offset2 @ x_dir)
+    pseudo_x = 0.0
+    for t in (0.85, 0.925, 1.0):
+        pseudo_x = pseudo_x + masked_quantile(x_dis2, keep, t) / t
+    pseudo_x = pseudo_x / 3.0
+    metric_size = jnp.sum(smoothl1_loss(size[0] - 2.0 * pseudo_x))
+    metric_size = metric_size + jnp.sum(smoothl1_loss(kept_mean - center))
+
+    promote = (metric_vertical < 0.05) & (metric_normal < 0.02) & (metric_size < 0.10)
+    demote = (metric_vertical > 0.3) | (metric_normal > 0.05) | (metric_size > 0.35)
+    logp = jax.nn.log_softmax(score)
+    ce_pos, ce_neg = -logp[1], -logp[0]
+    metric_score = jnp.where(promote, ce_pos, jnp.where(demote, ce_neg, 0.0))
+
+    z = jnp.float32(0.0)
+    return (jnp.where(valid, metric_normal, z),
+            jnp.where(valid, metric_vertical, z),
+            jnp.where(valid, metric_size, z),
+            jnp.where(valid, metric_score, z))
+
+
+def gamma_mixture_guide_criterion(ep: Dict, rng_key,
+                                  use_fitted: bool = False
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                             jnp.ndarray, jnp.ndarray]:
+    """Batch version (:130-192): one random confident quad per scene, 10k
+    random points, returns the 4 batch-mean metrics (normal, vertical, size,
+    score)."""
+    prefix = "last_"
+    B = ep["point_clouds"].shape[0]
+    keys = jax.random.split(rng_key, B)
+    fn = functools.partial(_scene_metric, use_fitted=use_fitted)
+    mn, mv, ms, msc = jax.vmap(fn)(
+        ep[f"{prefix}quad_scores"], ep[f"{prefix}quad_center"],
+        ep[f"{prefix}normal_vector"], ep[f"{prefix}quad_size"],
+        ep["point_clouds"][..., :3], ep["vertex_normals"], keys)
+    return (jnp.mean(mn), jnp.mean(mv), jnp.mean(ms), jnp.mean(msc))

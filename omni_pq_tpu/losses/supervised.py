@@ -1,0 +1,305 @@
+"""Supervised detection + layout losses (pure jnp, fully jittable).
+
+Rebuilds models/loss_helper_pq.py: vote loss (:24), objectness loss (:47),
+box + semantic-class loss (:92), quad score loss (:197), quad geometry loss
+(:258), physical-constraint loss (:357, vectorized with masks instead of the
+reference's per-scene Python loops), and the total assembly get_loss
+(:412-486) with identical weighting:
+    loss = 10 * (pc + vote + 1/(L+1) * (0.9*object + 0.1*quad))
+    object = box + 0.1*sem_cls + 0.5*objectness
+    quad   = (center+normal+size) + 0.5*quad_score
+
+Inputs: a merged dict `ep` of model end_points plus label arrays using the
+reference's key names. Labels are fixed-shape padded (MAX_NUM_OBJ=64,
+MAX_NUM_QUAD=32); `num_gt_boxes` / `num_gt_quads` are (B,) int32 true counts.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nn_distance import nn_distance, smoothl1_loss
+
+FAR_THRESHOLD = 0.6
+NEAR_THRESHOLD = 0.3
+GT_VOTE_FACTOR = 3
+OBJECTNESS_CLS_WEIGHTS = (0.2, 0.8)
+QUAD_CLS_WEIGHTS = (0.4, 0.6)
+# semantic classes excluded from the physical-constraint loss: door(5),
+# window(6), picture(8), curtain(11) (loss_helper_pq.py:352-355)
+PC_EXCLUDED_CLASSES = (5, 6, 8, 11)
+
+
+def weighted_ce(logits, labels, weights=None):
+    """Per-element cross entropy -w[y]*log_softmax(x)[y] (torch CE 'none')."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                             axis=-1)[..., 0]
+    if weights is not None:
+        w = jnp.asarray(weights, dtype=logits.dtype)[labels]
+        return -w * ll
+    return -ll
+
+
+def prefixes_for(num_layer: int):
+    """Loss iteration order of the reference (loss_helper_pq.py:51)."""
+    return ["proposal_", "last_"] + [f"{i}head_" for i in range(num_layer - 1)]
+
+
+def compute_vote_loss(ep: Dict) -> jnp.ndarray:
+    """VoteNet vote regression loss (loss_helper_pq.py:24-45)."""
+    B, num_seed, _ = ep["seed_xyz"].shape
+    vote_xyz = ep["vote_xyz"]  # (B, num_seed*factor, 3)
+    seed_inds = ep["seed_inds"].astype(jnp.int32)  # (B, num_seed)
+
+    seed_gt_votes_mask = jnp.take_along_axis(ep["vote_label_mask"], seed_inds,
+                                             axis=1)  # (B, num_seed)
+    seed_gt_votes = jnp.take_along_axis(
+        ep["vote_label"], seed_inds[..., None].repeat(3 * GT_VOTE_FACTOR, -1),
+        axis=1)
+    seed_gt_votes = seed_gt_votes + jnp.tile(ep["seed_xyz"], (1, 1, 3))
+
+    vote_r = vote_xyz.reshape(B * num_seed, -1, 3)
+    gt_r = seed_gt_votes.reshape(B * num_seed, GT_VOTE_FACTOR, 3)
+    _, _, dist2, _ = nn_distance(vote_r, gt_r, l1=True)
+    votes_dist = jnp.min(dist2, axis=1).reshape(B, num_seed)
+    return jnp.sum(votes_dist * seed_gt_votes_mask) / (
+        jnp.sum(seed_gt_votes_mask) + 1e-6)
+
+
+def _assign(agg_xyz, gt_center, num_gt) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Chamfer GT assignment with NEAR/FAR gating (loss_helper_pq.py:56-74).
+
+    Returns (label (B,K) int32, mask (B,K) f32, assignment (B,K) int32)."""
+    K2 = gt_center.shape[1]
+    dist1, ind1, _, _ = nn_distance(agg_xyz, gt_center)
+    euclid = jnp.sqrt(dist1 + 1e-6)
+    label = (euclid < NEAR_THRESHOLD).astype(jnp.int32)
+    label = jnp.where(ind1 >= num_gt[:, None], 0, label)
+    mask = ((euclid < NEAR_THRESHOLD) | (euclid > FAR_THRESHOLD)).astype(jnp.float32)
+    assignment = jnp.where(label == 0, K2 - 1, ind1)
+    return label, mask, assignment.astype(jnp.int32)
+
+
+def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
+                                    stats: Dict) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Objectness + box + sem-cls losses over all prefixes
+    (loss_helper_pq.py:47-193). The assignment depends only on
+    aggregated_vote_xyz so it is computed once and shared (the reference
+    recomputes identical values per prefix)."""
+    gt_center = ep["center_label"][:, :, 0:3]
+    label, mask, assignment = _assign(ep["aggregated_vote_xyz"], gt_center,
+                                      ep["num_gt_boxes"])
+    labelf = label.astype(jnp.float32)
+    n_pos = jnp.sum(labelf) + 1e-6
+    a3 = assignment[..., None].repeat(3, -1)
+
+    num_heading_bin = ep["heading_class_label"].shape[-1] if False else None
+    objectness_sum = 0.0
+    box_sum = 0.0
+    sem_sum = 0.0
+    for prefix in prefixes_for(num_layer):
+        ep[f"{prefix}objectness_label"] = label
+        ep[f"{prefix}objectness_mask"] = mask
+        ep[f"{prefix}object_assignment"] = assignment
+
+        obj_loss = weighted_ce(ep[f"{prefix}objectness_scores"], label,
+                               OBJECTNESS_CLS_WEIGHTS)
+        obj_loss = jnp.sum(obj_loss * mask) / (jnp.sum(mask) + 1e-6)
+        objectness_sum = objectness_sum + obj_loss
+        stats[f"{prefix}objectness_loss"] = obj_loss
+
+        # center
+        assigned_center = jnp.take_along_axis(gt_center, a3, axis=1)
+        center_loss = smoothl1_loss(assigned_center - ep[f"{prefix}center"])
+        center_loss = jnp.sum(center_loss * labelf[..., None]) / n_pos
+
+        # heading
+        hcl = jnp.take_along_axis(ep["heading_class_label"], assignment, axis=1)
+        heading_cls_loss = jnp.sum(weighted_ce(
+            ep[f"{prefix}heading_scores"], hcl) * labelf) / n_pos
+        nh = ep[f"{prefix}heading_scores"].shape[-1]
+        hrl = jnp.take_along_axis(ep["heading_residual_label"], assignment, axis=1)
+        hrl_norm = hrl / (jnp.pi / nh)
+        pred_hr = jnp.take_along_axis(
+            ep[f"{prefix}heading_residuals_normalized"], hcl[..., None], axis=2)[..., 0]
+        heading_reg_loss = jnp.sum(smoothl1_loss(pred_hr - hrl_norm) * labelf) / n_pos
+
+        # size
+        scl = jnp.take_along_axis(ep["size_class_label"], assignment, axis=1)
+        size_cls_loss = jnp.sum(weighted_ce(
+            ep[f"{prefix}size_scores"], scl) * labelf) / n_pos
+        srl = jnp.take_along_axis(ep["size_residual_label"], a3, axis=1)  # (B,K,3)
+        pred_sr = jnp.take_along_axis(
+            ep[f"{prefix}size_residuals_normalized"],
+            scl[..., None, None].repeat(3, -1), axis=2)[:, :, 0]  # (B,K,3)
+        mean_size = jnp.asarray(mean_size_arr)[scl]  # (B,K,3)
+        srl_norm = srl / mean_size
+        size_reg_loss = jnp.sum(
+            smoothl1_loss(pred_sr - srl_norm) * labelf[..., None]) / n_pos
+
+        # semantic class
+        sem_label = jnp.take_along_axis(ep["sem_cls_label"], assignment, axis=1)
+        sem_loss = jnp.sum(weighted_ce(
+            ep[f"{prefix}sem_cls_scores"], sem_label) * labelf) / n_pos
+
+        box_loss = (center_loss + 0.1 * heading_cls_loss + heading_reg_loss
+                    + 0.1 * size_cls_loss + size_reg_loss)
+        stats[f"{prefix}center_loss"] = center_loss
+        stats[f"{prefix}heading_cls_loss"] = heading_cls_loss
+        stats[f"{prefix}heading_reg_loss"] = heading_reg_loss
+        stats[f"{prefix}size_cls_loss"] = size_cls_loss
+        stats[f"{prefix}size_reg_loss"] = size_reg_loss
+        stats[f"{prefix}box_loss"] = box_loss
+        stats[f"{prefix}sem_cls_loss"] = sem_loss
+        box_sum = box_sum + box_loss
+        sem_sum = sem_sum + sem_loss
+    return objectness_sum, box_sum, sem_sum
+
+
+def compute_quad_losses(ep: Dict, num_layer: int, stats: Dict):
+    """Quad score + geometry losses over all prefixes
+    (loss_helper_pq.py:197-304)."""
+    gt_center = ep["gt_quad_centers"][:, :, 0:3]
+    label, mask, assignment = _assign(ep["aggregated_sample_xyz"], gt_center,
+                                      ep["num_gt_quads"])
+    labelf = label.astype(jnp.float32)
+    n_pos = jnp.sum(labelf) + 1e-6
+    a3 = assignment[..., None].repeat(3, -1)
+    a2 = assignment[..., None].repeat(2, -1)
+
+    score_sum, center_sum, vector_sum, size_sum = 0.0, 0.0, 0.0, 0.0
+    for prefix in prefixes_for(num_layer):
+        ep[f"{prefix}quad_label"] = label
+        ep[f"{prefix}quad_mask"] = mask
+        ep[f"{prefix}quad_assignment"] = assignment
+
+        score_loss = weighted_ce(ep[f"{prefix}quad_scores"], label,
+                                 QUAD_CLS_WEIGHTS)
+        score_loss = jnp.sum(score_loss * mask) / (jnp.sum(mask) + 1e-6)
+        stats[f"{prefix}quad_scores_loss"] = score_loss
+        score_sum = score_sum + score_loss
+
+        assigned_center = jnp.take_along_axis(gt_center, a3, axis=1)
+        center_loss = smoothl1_loss(assigned_center - ep[f"{prefix}quad_center"])
+        center_loss = jnp.sum(center_loss * labelf[..., None]) / n_pos
+        stats[f"{prefix}quad_center_loss"] = center_loss
+        center_sum = center_sum + center_loss
+
+        gt_vec = jnp.take_along_axis(ep["gt_normal_vectors"], a3, axis=1)
+        pred_vec = ep[f"{prefix}normal_vector"]
+        cos = jnp.sum(pred_vec * gt_vec, -1) / (
+            jnp.linalg.norm(pred_vec, axis=-1) * jnp.linalg.norm(gt_vec, axis=-1)
+            + 1e-8)
+        vector_loss = jnp.sum((1.0 - cos) * labelf) / n_pos
+        stats[f"{prefix}normal_vector_loss"] = vector_loss
+        vector_sum = vector_sum + vector_loss
+
+        gt_size = jnp.take_along_axis(ep["gt_quad_sizes"], a2, axis=1)
+        size_loss = smoothl1_loss(ep[f"{prefix}quad_size"] - gt_size)
+        size_loss = jnp.sum(size_loss * labelf[..., None]) / n_pos
+        stats[f"{prefix}quad_size_loss"] = size_loss
+        size_sum = size_sum + size_loss
+    return score_sum, center_sum, vector_sum, size_sum
+
+
+def get_2d_box_corners(box_size, center):
+    """(B,K,3) size, (B,K,3) center -> (B,K,4,2) xy corners
+    (loss_helper_pq.py:307-326)."""
+    l, w = box_size[..., 0] / 2, box_size[..., 1] / 2
+    dx = jnp.stack([l, l, -l, -l], axis=-1)
+    dy = jnp.stack([w, -w, w, -w], axis=-1)
+    corners = jnp.stack([dx + center[..., 0:1], dy + center[..., 1:2]], axis=-1)
+    return corners
+
+
+def compute_physical_constraints_loss(ep: Dict, mean_size_arr):
+    """Object-corner-inside-quads penalty (loss_helper_pq.py:357-410),
+    vectorized over (B, quads, corners) with masks. Uses 'last_' only."""
+    prefix = "last_"
+    pred_center = ep[f"{prefix}center"]  # (B,K,3)
+    size_scores = ep[f"{prefix}size_scores"]
+    pred_size_class = jnp.argmax(size_scores, -1)  # (B,K)
+    pred_size_res = jnp.take_along_axis(
+        ep[f"{prefix}size_residuals"],
+        pred_size_class[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+    box_size = jnp.asarray(mean_size_arr)[pred_size_class] + pred_size_res
+
+    objectness = ep[f"{prefix}objectness_label"].astype(jnp.float32)
+    sem = jnp.take_along_axis(ep["sem_cls_label"],
+                              ep[f"{prefix}object_assignment"], axis=1)
+    allowed = jnp.ones_like(sem, dtype=bool)
+    for c in PC_EXCLUDED_CLASSES:
+        allowed = allowed & (sem != c)
+    box_mask = objectness * allowed.astype(jnp.float32)  # (B,K)
+    num_box = jnp.sum(box_mask, axis=1)  # (B,)
+
+    corners = get_2d_box_corners(box_size, pred_center)  # (B,K,4,2)
+    B, K = box_mask.shape
+    pts = corners.reshape(B, K * 4, 2)
+    pts_mask = jnp.repeat(box_mask, 4, axis=1)  # (B, K*4)
+
+    qc = ep[f"{prefix}quad_center"]
+    nv = ep[f"{prefix}normal_vector"]
+    qs = ep[f"{prefix}quad_size"]
+    quad_label = ep[f"{prefix}quad_label"].astype(jnp.float32)  # (B,Q)
+
+    a, b = nv[..., 0], nv[..., 1]  # (B,Q)
+    d = -(a * qc[..., 0] + b * qc[..., 1])
+    px, py = pts[..., 0], pts[..., 1]  # (B,P)
+    delta = (a[:, :, None] * px[:, None, :] + b[:, :, None] * py[:, None, :]
+             + d[:, :, None])  # (B,Q,P)
+    k = -delta
+    projx = px[:, None, :] + a[:, :, None] * k
+    projy = py[:, None, :] + b[:, :, None] * k
+    w = jnp.sqrt((projx - qc[..., 0:1]) ** 2 + (projy - qc[..., 1:2]) ** 2)
+    point_mask = (w < qs[..., 0:1]).astype(jnp.float32)
+    per_pt = jax.nn.relu(-delta) * point_mask * pts_mask[:, None, :]
+    per_quad = jnp.sum(per_pt, axis=2)  # (B,Q)
+    scene_scale = jnp.where(num_box > 0, 1.0 / jnp.maximum(num_box, 1.0), 0.0)
+    pc_loss = jnp.sum(per_quad * quad_label * scene_scale[:, None])
+    collisions = jnp.sum((per_pt > 1e-4).astype(jnp.float32)
+                         * quad_label[..., None]
+                         * (num_box > 0)[:, None, None].astype(jnp.float32))
+    return pc_loss, collisions
+
+
+def get_loss(ep: Dict, mean_size_arr, num_layer: int = 6,
+             pc_loss: bool = True) -> Tuple[jnp.ndarray, Dict]:
+    """Total supervised loss (loss_helper_pq.py:412-486). `ep` is the merged
+    end_points+labels dict; returns (scalar loss, stats dict)."""
+    stats: Dict = {}
+    vote_loss = compute_vote_loss(ep) if "vote_xyz" in ep else jnp.float32(0.0)
+    stats["vote_loss"] = vote_loss
+
+    objectness_sum, box_sum, sem_sum = compute_objectness_and_box_loss(
+        ep, mean_size_arr, num_layer, stats)
+    stats["objectness_loss"] = objectness_sum
+    stats["box_loss"] = box_sum
+    stats["sem_cls_loss_sum"] = sem_sum
+
+    score_sum, qcenter_sum, qvector_sum, qsize_sum = compute_quad_losses(
+        ep, num_layer, stats)
+    stats["quad_score_loss_sum"] = score_sum
+    quad_loss_sum = qcenter_sum + qvector_sum + qsize_sum
+    stats["quad_center_loss_sum"] = qcenter_sum
+    stats["quad_vector_loss_sum"] = qvector_sum
+    stats["quad_size_loss_sum"] = qsize_sum
+    stats["quad_loss_sum"] = quad_loss_sum
+
+    if pc_loss:
+        pcl, collisions = compute_physical_constraints_loss(ep, mean_size_arr)
+    else:
+        pcl, collisions = jnp.float32(0.0), jnp.float32(0.0)
+    stats["physical_constraints_loss"] = pcl
+    stats["collisions"] = collisions
+
+    object_loss = box_sum + 0.1 * sem_sum + 0.5 * objectness_sum
+    quad_loss = quad_loss_sum + 0.5 * score_sum
+    loss = pcl + vote_loss + 1.0 / (num_layer + 1) * (
+        0.9 * object_loss + 0.1 * quad_loss)
+    loss = loss * 10.0
+    stats["loss"] = loss
+    return loss, stats

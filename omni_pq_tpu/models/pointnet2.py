@@ -1,0 +1,98 @@
+"""PointNet++ modules (flax.linen, channel-last, static shapes).
+
+Rebuilds the reference's pointnet2/pointnet2_modules.py:
+  - SharedMLP        <- pytorch_utils.SharedMLP (conv1x1 + BN + ReLU stacks)
+  - SAModuleVotes    <- PointnetSAModuleVotes:164-272 (FPS -> ball query ->
+                        group -> shared MLP -> max pool)
+  - FPModule         <- PointnetFPModule:356-416 (3-NN inverse-distance
+                        interpolation + shared MLP)
+
+Design notes (TPU): everything is channel-last so the 1x1 convs become plain
+Dense matmuls on the MXU over a flattened (B*npoint*nsample, C) batch; the
+nsample max-pool is a lane-friendly reduction; BatchNorm statistics are taken
+over all non-channel axes, which under jit-with-sharded-batch equals the
+reference's SyncBatchNorm semantics.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import fps, ball_query, gather_points, group_points, interpolate_features
+
+# torch BN defaults: eps 1e-5; the model sets momentum=0.1 (torch convention:
+# new = 0.9*old + 0.1*batch) == flax momentum 0.9
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+class SharedMLP(nn.Module):
+    """Dense + BatchNorm + ReLU stack applied pointwise over the last axis."""
+    channels: Sequence[int]
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, c in enumerate(self.channels):
+            x = nn.Dense(c, use_bias=not self.bn, name=f"layer{i}")(x)
+            if self.bn:
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class SAModuleVotes(nn.Module):
+    """Set abstraction: FPS -> ball query -> group -> SharedMLP -> max-pool.
+
+    Matches PointnetSAModuleVotes (pointnet2_modules.py:164-272) with
+    pooling='max', use_xyz=True. `mlp_channels` excludes the implicit +3 xyz
+    input channels.
+    """
+    npoint: int
+    radius: float
+    nsample: int
+    mlp_channels: Sequence[int]
+    normalize_xyz: bool = False
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
+                 inds: Optional[jnp.ndarray] = None, train: bool = False):
+        """xyz (B,N,3), features (B,N,C) -> new_xyz (B,npoint,3),
+        new_features (B,npoint,C_out), inds (B,npoint)."""
+        if inds is None:
+            inds = fps(xyz, self.npoint)
+        new_xyz = gather_points(xyz, inds)
+        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
+        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        if self.normalize_xyz:
+            grouped_xyz = grouped_xyz / self.radius
+        if features is not None:
+            grouped = group_points(features, idx)
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+        else:
+            grouped = grouped_xyz
+        out = SharedMLP(self.mlp_channels, name="mlp")(grouped, train=train)
+        return new_xyz, jnp.max(out, axis=2), inds
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance upsampling + SharedMLP.
+
+    Matches PointnetFPModule (pointnet2_modules.py:356-416); channel concat
+    order is [interpolated_known, skip] like the reference.
+    """
+    mlp_channels: Sequence[int]
+
+    @nn.compact
+    def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
+                 train: bool = False):
+        interp = interpolate_features(unknown_xyz, known_xyz, known_feats)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp_channels, name="mlp")(interp, train=train)

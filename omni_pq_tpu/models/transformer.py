@@ -1,0 +1,112 @@
+"""Voting module, learned position embedding, multi-head attention and the
+DETR-style decoder layer.
+
+Rebuilds models/voting_module.py:16-65, models/pq_transformer.py:17-33,
+models/utils/multi_head_attention.py (used in its standard configuration —
+callers pass attention_type='', transformer.py:146,212) and
+models/transformer.py:162-228. Channel-last throughout; attention is a plain
+einsum softmax attention (MXU-friendly), with dropout on the attention
+weights like torch's MultiheadAttention.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .pointnet2 import BN_MOMENTUM, BN_EPS
+
+
+class VotingModule(nn.Module):
+    """VoteNet vote generation (voting_module.py). vote_factor=1, residual
+    feature offsets."""
+    seed_feature_dim: int = 288
+
+    @nn.compact
+    def __call__(self, seed_xyz, seed_features, train: bool = False):
+        """seed_xyz (B,S,3), seed_features (B,S,C) -> vote_xyz, vote_features."""
+        d = self.seed_feature_dim
+        net = nn.Dense(d, name="conv1")(seed_features)
+        net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=BN_EPS, name="bn1")(net)
+        net = nn.relu(net)
+        net = nn.Dense(d, name="conv2")(net)
+        net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=BN_EPS, name="bn2")(net)
+        net = nn.relu(net)
+        net = nn.Dense(3 + d, name="conv3")(net)
+        vote_xyz = seed_xyz + net[..., 0:3]
+        vote_features = seed_features + net[..., 3:]
+        return vote_xyz, vote_features
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Learned absolute position embedding over xyz
+    (pq_transformer.py:17-33)."""
+    num_pos_feats: int = 288
+
+    @nn.compact
+    def __call__(self, xyz, train: bool = False):
+        x = nn.Dense(self.num_pos_feats, name="conv1")(xyz)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, name="bn")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_pos_feats, name="conv2")(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with packed qkv projections and attention-weight dropout,
+    matching torch.nn.MultiheadAttention semantics (the reference's fork
+    behaves identically for attention_type='')."""
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, q, k, v, train: bool = False):
+        """q (B,Lq,D), k/v (B,Lk,D) -> (B,Lq,D)."""
+        D, H = self.d_model, self.nhead
+        hd = D // H
+        qp = nn.Dense(D, name="q_proj")(q).reshape(*q.shape[:2], H, hd)
+        kp = nn.Dense(D, name="k_proj")(k).reshape(*k.shape[:2], H, hd)
+        vp = nn.Dense(D, name="v_proj")(v).reshape(*v.shape[:2], H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(hd).astype(q.dtype)
+        weights = nn.softmax(logits, axis=-1)
+        weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vp)
+        return nn.Dense(D, name="out_proj")(out.reshape(*q.shape[:2], D))
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Self-attn + cross-attn + FFN with learned xyz position embeddings added
+    to q/k/v every layer (transformer.py:162-228). Post-norm residuals."""
+    d_model: int = 288
+    nhead: int = 8
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, key, query_pos, key_pos, train: bool = False):
+        """query (B,Pq,D), key (B,Pk,D), query_pos (B,Pq,3), key_pos (B,Pk,3)."""
+        drop = lambda name: nn.Dropout(self.dropout, deterministic=not train,
+                                       name=name)
+        q_embed = PositionEmbeddingLearned(self.d_model, name="self_posembed")(
+            query_pos, train=train)
+        k_embed = PositionEmbeddingLearned(self.d_model, name="cross_posembed")(
+            key_pos, train=train)
+
+        qkv = query + q_embed
+        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                  name="self_attn")(qkv, qkv, qkv, train=train)
+        query = nn.LayerNorm(name="norm1")(query + drop("dropout1")(attn))
+
+        kv = key + k_embed
+        attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                  name="multihead_attn")(
+            query + q_embed, kv, kv, train=train)
+        query = nn.LayerNorm(name="norm2")(query + drop("dropout2")(attn))
+
+        ff = nn.Dense(self.dim_feedforward, name="linear1")(query)
+        ff = drop("dropout")(nn.relu(ff))
+        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        query = nn.LayerNorm(name="norm3")(query + drop("dropout3")(ff))
+        return query

@@ -111,6 +111,9 @@ def ball_query(radius: float, nsample: int, xyz: jax.Array,
     """
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
+    # non-differentiable (BallQuery autograd Function has no backward)
+    xyz = jax.lax.stop_gradient(xyz)
+    new_xyz = jax.lax.stop_gradient(new_xyz)
     if N * S <= 256 * 1024:
         return ball_query_ref(radius, nsample, xyz, new_xyz)
     n_pad = (-N) % _CHUNK

@@ -72,6 +72,9 @@ def fps(xyz: jax.Array, npoint: int) -> jax.Array:
     near-origin points (padding) never selected. Zero-padding N is safe.
     """
     B, N, _ = xyz.shape
+    # non-differentiable, like the reference's FurthestPointSampling autograd
+    # Function (pointnet2_utils.py:51-80, backward returns None)
+    xyz = jax.lax.stop_gradient(xyz)
     if N <= npoint:
         # degenerate; fall back to oracle (static shapes still required)
         return fps_ref(xyz, npoint)

@@ -14,7 +14,12 @@ import jax.numpy as jnp
 
 from .reference import three_nn_ref
 
-three_nn = jax.jit(three_nn_ref)
+@jax.jit
+def three_nn(unknown, known):
+    # non-differentiable (ThreeNN.backward returns None,
+    # pointnet2_utils.py:142-144) — interpolation weights are detached
+    return three_nn_ref(jax.lax.stop_gradient(unknown),
+                        jax.lax.stop_gradient(known))
 
 
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
@@ -49,10 +54,11 @@ def interpolate_features(unknown_xyz: jax.Array, known_xyz: jax.Array,
                          known_feats: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Full FP-module interpolation: 3-NN inverse-distance weighting.
 
-    Matches PointnetFPModule's weighting (pointnet2_modules.py:393-401):
-    w_i = (1/d_i) / sum_j (1/d_j) with d = dist^2 + 1e-8.
+    Matches PointnetFPModule's weighting (pointnet2_modules.py:393-401) with
+    euclidean d (the ThreeNN wrapper sqrt's the kernel's squared distances,
+    pointnet2_utils.py:140): w_i = (1/(d_i+1e-8)) / sum_j (1/(d_j+1e-8)).
     """
     dist2, idx = three_nn(unknown_xyz, known_xyz)
-    recip = 1.0 / (dist2 + eps)
+    recip = 1.0 / (jnp.sqrt(dist2) + eps)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     return three_interpolate(known_feats, idx, weight)
