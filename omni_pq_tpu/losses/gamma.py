@@ -66,6 +66,13 @@ def _em_component_step(x, prob, a_prev):
         return jnp.clip(a_new, 1e-3, 1e4)
 
     a = jax.lax.fori_loop(0, 12, newton, a_prev)
+    # Trust-region damping on the shape update. The reference's scipy solve
+    # uses a wrong jacobian (fit.py:43, gamma(x) instead of trigamma) which in
+    # practice makes large M-step moves fail and keep the previous shape —
+    # that accidental conservatism is what keeps the two components from
+    # collapsing onto the global mean early in the fit. A bounded per-step
+    # multiplicative move reproduces the stabilizing effect deterministically.
+    a = jnp.clip(a, a_prev / 2.0, a_prev * 2.0)
     return a, a * coef
 
 
@@ -115,7 +122,9 @@ def mixture_keep_mask(dist, use_fitted: bool = False):
 
 def masked_quantile(values, mask, q):
     """torch.quantile with linear interpolation, over values[mask] only."""
-    big = jnp.float32(3.4e38)
+    # large-but-safe pad: must survive downstream arithmetic in f32 without
+    # overflowing to inf (inf leaks NaN into gradients through jnp.where)
+    big = jnp.float32(1e9)
     v = jnp.where(mask, values, big)
     v = jnp.sort(v)
     n = jnp.sum(mask.astype(jnp.int32))
@@ -164,8 +173,10 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     x_dir = jnp.cross(z_dir, n3)
     x_dis = jnp.abs(offset @ x_dir)
     z_dis = jnp.abs(offset @ z_dir)
-    size_a = jnp.linalg.norm(
-        jax.nn.relu(2.0 * jnp.stack([x_dis, z_dis], axis=1) - size), axis=-1)
+    # eps inside the sqrt: norm of an exactly-zero relu output (point inside
+    # the quad, the common case) would otherwise have a NaN gradient
+    sa = jax.nn.relu(2.0 * jnp.stack([x_dis, z_dis], axis=1) - size)
+    size_a = jnp.sqrt(jnp.sum(sa * sa, axis=-1) + 1e-12)
 
     total = 2.5 * distance_cosine + 0.2 * size_a ** 2 + 0.5 * vertical
 

@@ -1,0 +1,255 @@
+"""Loss-tier tests: semantics on hand-built fixtures + end-to-end jit/grad."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni_pq_tpu import losses
+from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+from omni_pq_tpu.losses.supervised import _assign, NEAR_THRESHOLD
+from omni_pq_tpu.models import PQTransformer
+from tests.util import TINY, tiny_cloud
+
+
+def make_labels(rng, B=2, N=512, max_obj=64, max_quad=32):
+    lab = {
+        "center_label": rng.uniform(size=(B, max_obj, 3)).astype(np.float32) * 3 + 0.5,
+        "heading_class_label": np.zeros((B, max_obj), np.int32),
+        "heading_residual_label": np.zeros((B, max_obj), np.float32),
+        "size_class_label": rng.integers(0, 18, (B, max_obj)).astype(np.int32),
+        "size_residual_label": rng.normal(size=(B, max_obj, 3)).astype(np.float32) * 0.1,
+        "sem_cls_label": rng.integers(0, 18, (B, max_obj)).astype(np.int32),
+        "num_gt_boxes": np.array([5, 3], np.int32)[:B],
+        "vote_label": rng.normal(size=(B, N, 9)).astype(np.float32) * 0.1,
+        "vote_label_mask": (rng.uniform(size=(B, N)) > 0.5).astype(np.float32),
+        "gt_quad_centers": rng.uniform(size=(B, max_quad, 3)).astype(np.float32) * 3 + 0.5,
+        "gt_quad_sizes": rng.uniform(size=(B, max_quad, 2)).astype(np.float32) * 2 + 0.5,
+        "gt_normal_vectors": np.tile(np.array([1.0, 0, 0], np.float32), (B, max_quad, 1)),
+        "num_gt_quads": np.array([4, 2], np.int32)[:B],
+    }
+    return {k: jnp.asarray(v) for k, v in lab.items()}
+
+
+@pytest.fixture(scope="module")
+def model_out():
+    rng = np.random.default_rng(0)
+    model = PQTransformer(TINY)
+    pc = jnp.asarray(tiny_cloud(rng))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc)
+    ep = jax.jit(lambda v, x: model.apply(v, x))(variables, pc)
+    ep = dict(ep)
+    ep["point_clouds"] = pc
+    return model, variables, ep, pc
+
+
+class TestPrimitives:
+    def test_weighted_ce_matches_numpy(self, rng):
+        logits = rng.normal(size=(2, 5, 3)).astype(np.float32)
+        labels = rng.integers(0, 3, (2, 5))
+        w = (0.2, 0.3, 0.5)
+        got = np.asarray(losses.weighted_ce(jnp.asarray(logits),
+                                            jnp.asarray(labels), w))
+        p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        want = -np.log(p[np.arange(2)[:, None], np.arange(5)[None], labels])
+        want *= np.asarray(w)[labels]
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_assign_semantics(self):
+        # 3 proposals: near gt0, far from everything, mid-range
+        agg = jnp.asarray([[[0.0, 0, 0], [5.0, 0, 0], [0.45, 0, 0]]])
+        gt = jnp.asarray([[[0.1, 0, 0], [2.0, 0, 0]]])
+        label, mask, assign = _assign(agg, gt, jnp.asarray([2]))
+        label, mask, assign = map(np.asarray, (label, mask, assign))
+        assert label.tolist() == [[1, 0, 0]]       # near / far / in-between
+        assert mask.tolist() == [[1.0, 1.0, 0.0]]  # near or far counted, mid not
+        assert assign[0, 0] == 0
+        assert assign[0, 1] == 1  # background -> K2-1
+        assert assign[0, 2] == 1
+
+    def test_assign_respects_num_gt(self):
+        agg = jnp.asarray([[[2.0, 0, 0]]])
+        gt = jnp.asarray([[[0.0, 0, 0], [2.0, 0, 0]]])  # nearest is padded gt1
+        label, _, _ = _assign(agg, gt, jnp.asarray([1]))
+        assert np.asarray(label)[0, 0] == 0  # matched a padded box -> bg
+
+    def test_masked_quantile(self, rng):
+        v = rng.normal(size=(100,)).astype(np.float32)
+        m = rng.uniform(size=(100,)) > 0.4
+        got = float(losses.masked_quantile(jnp.asarray(v), jnp.asarray(m), 0.85))
+        want = float(np.quantile(v[m], 0.85))
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+class TestPhysicalConstraints:
+    def _min_ep(self, corners_x):
+        # one box (its 4 corners at x=corners_x), one quad at x=1 facing +x
+        ep = {
+            "last_center": jnp.asarray([[[corners_x, 0.0, 0.0]]]),
+            "last_size_scores": jnp.zeros((1, 1, 18)).at[0, 0, 0].set(10.0),
+            "last_size_residuals": jnp.zeros((1, 1, 18, 3)),
+            "last_objectness_label": jnp.ones((1, 1), jnp.int32),
+            "last_object_assignment": jnp.zeros((1, 1), jnp.int32),
+            "sem_cls_label": jnp.zeros((1, 64), jnp.int32),
+            "last_quad_center": jnp.asarray([[[1.0, 0.0, 1.0]]]),
+            "last_normal_vector": jnp.asarray([[[-1.0, 0.0, 0.0]]]),
+            "last_quad_size": jnp.asarray([[[5.0, 2.0]]]),
+            "last_quad_label": jnp.ones((1, 1), jnp.int32),
+        }
+        return ep
+
+    def test_corner_outside_penalized(self):
+        # quad at x=1, normal -x: delta = -(x-1); x>1 -> -delta=x-1>0 penalized
+        loss_out, col_out = losses.compute_physical_constraints_loss(
+            self._min_ep(2.0), SCANNET_MEAN_SIZES)
+        loss_in, col_in = losses.compute_physical_constraints_loss(
+            self._min_ep(0.0), SCANNET_MEAN_SIZES)
+        assert float(loss_out) > 0 and float(col_out) > 0
+        assert float(loss_in) < float(loss_out)
+
+    def test_door_excluded(self):
+        ep = self._min_ep(2.0)
+        ep["sem_cls_label"] = jnp.full((1, 64), 5, jnp.int32)  # door
+        loss, col = losses.compute_physical_constraints_loss(ep, SCANNET_MEAN_SIZES)
+        assert float(loss) == 0.0
+
+
+class TestSupervised:
+    def test_get_loss_finite_and_jits(self, model_out, rng):
+        _, _, ep, _ = model_out
+        merged = dict(ep)
+        merged.update(make_labels(rng))
+        f = jax.jit(lambda d: losses.get_loss(
+            d, SCANNET_MEAN_SIZES, num_layer=TINY.num_decoder_layers))
+        loss, stats = f(merged)
+        assert np.isfinite(float(loss))
+        assert float(loss) > 0
+        for k in ["vote_loss", "objectness_loss", "box_loss",
+                  "quad_score_loss_sum", "physical_constraints_loss"]:
+            assert np.isfinite(float(stats[k])), k
+
+    def test_grad_through_loss(self, model_out, rng):
+        model, variables, _, pc = model_out
+        labels = make_labels(rng)
+
+        def loss_fn(params):
+            ep = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]}, pc)
+            merged = dict(ep)
+            merged.update(labels)
+            loss, _ = losses.get_loss(merged, SCANNET_MEAN_SIZES,
+                                      num_layer=TINY.num_decoder_layers)
+            return loss
+
+        g = jax.grad(loss_fn)(variables["params"])
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+        total = sum(float(np.abs(np.asarray(x)).sum()) for x in leaves)
+        assert total > 0
+
+
+class TestConsistency:
+    def test_zero_for_identical_predictions(self, model_out):
+        _, _, ep, _ = model_out
+        B = 2
+        aug = {
+            "flip_x_axis": jnp.zeros((B,)),
+            "flip_y_axis": jnp.zeros((B,)),
+            "rot_mat": jnp.tile(jnp.eye(3), (B, 1, 1)),
+            "scale": jnp.ones((B,)),
+        }
+        merged = dict(ep)
+        merged.update(aug)
+        loss, stats = losses.get_consistency_loss(
+            merged, ep, SCANNET_MEAN_SIZES, num_layer=TINY.num_decoder_layers)
+        # identical student/teacher + identity augmentation -> ~0 everywhere
+        assert float(loss) < 1e-4
+        assert float(stats["center_consistency_loss"]) < 1e-5
+        assert float(stats["class_consistency_loss"]) < 1e-5
+
+    def test_augmentation_alignment(self, model_out):
+        # teacher predictions in the unaugmented frame; student frame is
+        # flipped+rotated+scaled. After alignment the loss must be ~0.
+        _, _, ep, _ = model_out
+        B = 2
+        theta = 0.3
+        rot = np.array([[np.cos(theta), -np.sin(theta), 0],
+                        [np.sin(theta), np.cos(theta), 0], [0, 0, 1]],
+                       np.float32)
+        scale = 1.1
+        ema_ep = dict(ep)
+        student_ep = dict(ep)
+        for prefix in ["proposal_", "last_"] + [f"{i}head_" for i in range(TINY.num_decoder_layers - 1)]:
+            c = np.asarray(ep[f"{prefix}center"])
+            cf = c * np.array([-1, 1, 1], np.float32)  # flip x
+            student = (cf @ rot.T) * scale
+            student_ep[f"{prefix}center"] = jnp.asarray(student)
+            cq = np.asarray(ep[f"{prefix}quad_center"])
+            cqf = cq * np.array([-1, 1, 1], np.float32)
+            student_ep[f"{prefix}quad_center"] = jnp.asarray((cqf @ rot.T) * scale)
+        student_ep.update({
+            "flip_x_axis": jnp.ones((B,)),
+            "flip_y_axis": jnp.zeros((B,)),
+            "rot_mat": jnp.asarray(np.tile(rot, (B, 1, 1))),
+            "scale": jnp.full((B,), scale),
+        })
+        _, stats = losses.get_consistency_loss(
+            student_ep, ema_ep, SCANNET_MEAN_SIZES,
+            num_layer=TINY.num_decoder_layers)
+        assert float(stats["center_consistency_loss"]) < 1e-5
+
+
+class TestGammaMixture:
+    def test_em_recovers_components(self):
+        rng = np.random.default_rng(0)
+        a1t, b1t, a2t, b2t, wt = 2.0, 10.0, 8.0, 2.0, 0.4
+        n = 20000
+        pick = rng.uniform(size=n) < wt
+        x = np.where(pick, rng.gamma(a1t, 1 / b1t, n), rng.gamma(a2t, 1 / b2t, n))
+        a1, b1, a2, b2, w = losses.gamma_mixture_em(
+            jnp.asarray(x, jnp.float32), 0.5, 1.0, 5.0, 5.0, 0.5, 50)
+        # means of the two components recovered (a/b), weights close
+        np.testing.assert_allclose(float(a1 / b1), a1t / b1t, rtol=0.15)
+        np.testing.assert_allclose(float(a2 / b2), a2t / b2t, rtol=0.15)
+        np.testing.assert_allclose(float(w), wt, atol=0.1)
+
+    def test_keep_mask_matches_reference_criterion(self):
+        # reference criterion: keep where 0.1*Gamma(2,20) >= 0.9*Gamma(3,1)
+        import scipy.stats as st
+        d = np.linspace(0.01, 2.0, 200).astype(np.float32)
+        got = np.asarray(losses.mixture_keep_mask(jnp.asarray(d)))
+        want = (0.1 * st.gamma.pdf(d, 2, scale=1 / 20.0)
+                >= 0.9 * st.gamma.pdf(d, 3, scale=1.0))
+        np.testing.assert_array_equal(got, want)
+        assert got[:5].all() and not got[-5:].any()  # near kept, far dropped
+
+    def test_guide_criterion_runs_and_grads(self, model_out, rng):
+        model, variables, _, pc = model_out
+        normals = jnp.asarray(rng.normal(size=(2, 512, 3)).astype(np.float32))
+
+        def loss_fn(params):
+            ep = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]}, pc)
+            merged = dict(ep)
+            merged["point_clouds"] = pc
+            merged["vertex_normals"] = normals
+            mn, mv, ms, msc = losses.gamma_mixture_guide_criterion(
+                merged, jax.random.PRNGKey(0))
+            return 5e-4 * (mn + mv + ms + msc)
+
+        val, g = jax.value_and_grad(loss_fn)(variables["params"])
+        assert np.isfinite(float(val))
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+class TestArkit:
+    def test_arkit_loss(self, model_out):
+        _, _, ep, _ = model_out
+        B = 1  # second half of batch-2 is the weak half
+        weak = {
+            "center_label": jnp.asarray([[[3.0, 0.0, 0.5]]] ),
+            "size_label": jnp.asarray([[[1.0, 1.0, 1.0]]]),
+            "num_gt_boxes": jnp.asarray([1]),
+        }
+        loss, col = losses.get_arkit_pc_loss(ep, weak)
+        assert np.isfinite(float(loss)) and float(loss) >= 0
