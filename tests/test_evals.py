@@ -217,9 +217,9 @@ class TestObjectParse:
             "last_center": centers,
             "last_heading_scores": np.zeros((B, K, 1)),
             "last_heading_residuals": np.zeros((B, K, 1)),
-            "last_size_scores": np.eye(18)[cls][None][0][None],
+            "last_size_scores": 10 * np.eye(18)[cls],
             "last_size_residuals": np.zeros((B, K, 18, 3)),
-            "last_sem_cls_scores": 10 * np.eye(18)[cls][None][0][None],
+            "last_sem_cls_scores": 10 * np.eye(18)[cls],
             "last_objectness_scores": np.tile(np.array([-5.0, 5.0]), (B, K, 1)),
         }
         labels = {
