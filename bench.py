@@ -1,0 +1,104 @@
+"""Benchmark: ScanNet-regime semi-supervised training throughput on one chip.
+
+Measures the full student+teacher double-batch train step (supervised +
+physical-constraint + EMA consistency + on-device gamma-mixture losses,
+backward, clipped AdamW update, EMA update) at the reference's training
+regime: batch 3 labeled + 3 weak scenes of 40k points (train.sh:12-31)
+=> scenes/sec/chip counts 6 scenes per step.
+
+Baseline (vs_baseline denominator): the reference publishes no throughput
+(BASELINE.md); 4.0 scenes/sec/chip is our documented estimate of the A100
+reference implementation (which runs with torch anomaly detection always on
+(train.py:26) and a per-scene-per-step host scipy EM fit
+(gamma_mixture_loss_util.py:63-69)). The north-star is >=2x that, i.e.
+vs_baseline >= 2.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SCENES_PER_SEC = 4.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES
+    from omni_pq_tpu.data.synthetic import make_batch
+    from omni_pq_tpu.models import PQTransformer
+    from omni_pq_tpu.train import (TrainFlags, OptimizerConfig,
+                                   create_train_state, make_train_step)
+
+    log("backend:", jax.default_backend(), jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = ModelConfig()
+    B = 3  # labeled scenes (reference train.sh batch_size)
+    N = cfg.num_points
+    model = PQTransformer(cfg)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    batches = []
+    for i in range(3):  # a few distinct batches to defeat any caching
+        labeled = {k: jnp.asarray(v) for k, v in make_batch(rng, B, N).items()}
+        weak = {k: jnp.asarray(v) for k, v in make_batch(rng, B, N).items()}
+        batches.append((labeled, weak))
+    log("data gen: %.1fs" % (time.time() - t0))
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batches[0][0]["point_clouds"])
+    jax.block_until_ready(variables)
+    log("init: %.1fs" % (time.time() - t0))
+
+    state = create_train_state(variables, OptimizerConfig(total_steps=10000))
+    flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False, pc_loss=True)
+    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    key, k = jax.random.split(key)
+    state, stats = step(state, batches[0][0], batches[0][1], k,
+                        jnp.float32(0.05))
+    _ = np.asarray(stats["total_loss"])  # force full sync (block_until_ready
+    # does not actually block under the axon tunnel)
+    log("first step (compile): %.1fs, loss=%.3f" % (
+        time.time() - t0, float(stats["total_loss"])))
+
+    # warmup
+    for i in range(2):
+        key, k = jax.random.split(key)
+        state, stats = step(state, batches[i % 3][0], batches[i % 3][1], k,
+                            jnp.float32(0.05))
+        _ = np.asarray(stats["total_loss"])
+
+    iters = 10 if on_tpu else 2
+    t0 = time.time()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, stats = step(state, batches[i % 3][0], batches[i % 3][1], k,
+                            jnp.float32(0.05))
+        _ = np.asarray(stats["total_loss"])
+    dt = (time.time() - t0) / iters
+    scenes_per_sec = 2 * B / dt
+    log("steady state: %.1f ms/step -> %.2f scenes/s" % (dt * 1e3,
+                                                         scenes_per_sec))
+
+    print(json.dumps({
+        "metric": "ScanNet scenes/sec/chip (student+teacher step)",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""CLI argument surface matching the reference train.py:42-138 / eval.py
+(same flag names; one parser shared by both drivers). Quirk preserved:
+print/save/val freq, max_epoch and consistency_rampup are divided by
+end_proportion (label-rate-normalized epochs, train.py:128-132)."""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    # Model
+    parser.add_argument('--num_target', type=int, default=256)
+    parser.add_argument('--quad_num_target', type=int, default=256)
+    parser.add_argument('--sampling', default='vote', type=str)
+    # Transformer
+    parser.add_argument('--nhead', default=8, type=int)
+    parser.add_argument('--num_decoder_layers', default=6, type=int)
+    parser.add_argument('--dim_feedforward', default=2048, type=int)
+    parser.add_argument('--transformer_dropout', default=0.1, type=float)
+    parser.add_argument('--transformer_activation', default='relu', type=str)
+    # Data
+    parser.add_argument('--batch_size', type=int, default=3 if not is_eval else 16)
+    parser.add_argument('--dataset', default='scannet')
+    parser.add_argument('--data_root', default='data/scannet',
+                        help='root dir of the preprocessed ScanNet layout')
+    parser.add_argument('--arkit_data_root', default='data/arkitscenes')
+    parser.add_argument('--num_point', type=int, default=40000)
+    parser.add_argument('--use_height', action='store_true')
+    parser.add_argument('--use_color', action='store_true')
+    parser.add_argument('--num_workers', type=int, default=4)
+    parser.add_argument('--arkit', action='store_true')
+    parser.add_argument('--synthetic_data', action='store_true',
+                        help='use the synthetic room generator (no data on disk)')
+    # Dataset splitting
+    parser.add_argument('--start_proportion', default=0.0, type=float)
+    parser.add_argument('--end_proportion', default=0.1, type=float)
+    # Training
+    parser.add_argument('--start_epoch', type=int, default=1)
+    parser.add_argument('--max_epoch', type=int, default=600)
+    parser.add_argument('--optimizer', type=str, default='adamW')
+    parser.add_argument('--weight_decay', type=float, default=0.0005)
+    parser.add_argument('--learning_rate', type=float, default=0.002)
+    parser.add_argument('--decoder_learning_rate', type=float, default=0.0001)
+    parser.add_argument('--lr-scheduler', dest='lr_scheduler', type=str,
+                        default='cosine', choices=['step', 'cosine'])
+    parser.add_argument('--warmup-epoch', dest='warmup_epoch', type=int, default=-1)
+    parser.add_argument('--warmup-multiplier', dest='warmup_multiplier',
+                        type=int, default=100)
+    parser.add_argument('--clip_norm', default=0.1, type=float)
+    parser.add_argument('--bn_momentum', type=float, default=0.1)
+    parser.add_argument('--syncbn', action='store_true')
+    # Weak loss
+    parser.add_argument('--gamma_mixture', action='store_true')
+    parser.add_argument('--ema', action='store_true')
+    parser.add_argument('--ema_decay', type=float, default=0.999)
+    parser.add_argument('--consistency_weight', type=float, default=0.05)
+    parser.add_argument('--consistency_rampup', type=int, default=1)
+    parser.add_argument('--lambda_metric_normal', type=float, default=0.0010)
+    parser.add_argument('--lambda_metric_vertical', type=float, default=0.0010)
+    parser.add_argument('--lambda_metric_size', type=float, default=0.0010)
+    parser.add_argument('--lambda_metric_score', type=float, default=0.0010)
+    parser.add_argument('--lambda_arkit_pc_loss', type=float, default=0.0)
+    parser.add_argument('--use_fitted_mixture', action='store_true',
+                        help='label pseudo points with the EM-fitted mixture '
+                             'instead of the reference\'s fixed initial one')
+    # io
+    parser.add_argument('--checkpoint_path', default=None)
+    parser.add_argument('--log_dir',
+                        default=f'log/{time.strftime("%Y%m%d-%H%M%S")}')
+    parser.add_argument('--print_freq', type=int, default=10)
+    parser.add_argument('--save_freq', type=int, default=10)
+    parser.add_argument('--val_freq', type=int, default=1)
+    parser.add_argument('--step_freq', type=int, default=1)
+    # others
+    parser.add_argument('--ap_iou_thresholds', type=float, default=[0.25],
+                        nargs='+')
+    parser.add_argument('--rng_seed', type=int, default=0)
+    parser.add_argument('--pc_loss', action='store_true')
+    parser.add_argument('--dump_result', action='store_true')
+    # Eval
+    parser.add_argument('--nms_iou_quad', type=float, default=0.25)
+    parser.add_argument('--faster_eval', action='store_true')
+    parser.add_argument('--smoke', action='store_true',
+                        help='tiny model + tiny scenes for CI smoke runs')
+    return parser
+
+
+def parse_option(argv=None, is_eval: bool = False):
+    args = build_parser(is_eval).parse_args(argv)
+    if not is_eval:
+        args.print_freq = int(args.print_freq / args.end_proportion)
+        args.save_freq = int(args.save_freq / args.end_proportion)
+        args.val_freq = int(args.val_freq / args.end_proportion)
+        args.max_epoch = int(args.max_epoch / args.end_proportion)
+        args.consistency_rampup = int(args.consistency_rampup / args.end_proportion)
+    return args

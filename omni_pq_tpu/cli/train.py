@@ -1,0 +1,253 @@
+"""Training driver — the reference train.py re-built on the jitted TPU step.
+
+Same CLI flag surface (cli/args.py), same loop structure (train.py:347-433):
+labeled + endless-weak double batches, per-iteration cosine LR, periodic
+evaluation of student and EMA teacher with quad-F1 / mAP, best / ema_best /
+periodic / last checkpoints. Data-parallel over all local devices via the
+mesh in parallel/ (replicated params, batch sharded).
+
+Run:  python -m omni_pq_tpu.cli.train --ema --gamma_mixture --pc_loss \
+          --end_proportion 0.1 --data_root <scannet_root>
+      (add --synthetic_data for a smoke run without data on disk)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from .args import parse_option
+
+
+def make_model_config(args):
+    from ..config import ModelConfig
+    kw = dict(
+        num_proposal=args.num_target, num_quad_proposal=args.quad_num_target,
+        num_decoder_layers=args.num_decoder_layers, nhead=args.nhead,
+        dim_feedforward=args.dim_feedforward,
+        dropout=args.transformer_dropout, num_points=args.num_point,
+        input_feature_dim=int(args.use_color) * 3 + int(args.use_height))
+    if args.smoke:
+        kw.update(num_proposal=16, num_quad_proposal=16, num_decoder_layers=2,
+                  hidden_dim=32, nhead=4, dim_feedforward=64,
+                  backbone_width=1, backbone_npoints=(128, 64, 32, 16),
+                  backbone_nsamples=(8, 8, 8, 8), vote_aggregation_nsample=8,
+                  num_points=args.num_point)
+    return ModelConfig(**kw)
+
+
+def get_datasets(args):
+    from ..data import (ScannetDetectionDataset, ARKitSceneDataset)
+    from ..data.synthetic import SyntheticDataset
+
+    if args.synthetic_data:
+        labeled = SyntheticDataset(32, args.num_point, seed=args.rng_seed)
+        weak = SyntheticDataset(32, args.num_point, seed=args.rng_seed + 1)
+        val = SyntheticDataset(8, args.num_point, seed=args.rng_seed + 2)
+        return labeled, weak, val
+    labeled = ScannetDetectionDataset(
+        args.data_root, "train", num_points=args.num_point,
+        use_color=args.use_color, use_height=args.use_height, augment=False,
+        start_proportion=args.start_proportion,
+        end_proportion=args.end_proportion, seed=args.rng_seed)
+    if args.arkit:
+        weak = ARKitSceneDataset(args.arkit_data_root, "train",
+                                 num_points=args.num_point,
+                                 seed=args.rng_seed + 1)
+    else:
+        weak = ScannetDetectionDataset(
+            args.data_root, "train", num_points=args.num_point,
+            use_color=args.use_color, use_height=args.use_height,
+            augment=False, start_proportion=0.0, end_proportion=1.0,
+            seed=args.rng_seed + 1)
+    val = ScannetDetectionDataset(
+        args.data_root, "val", num_points=args.num_point,
+        use_color=args.use_color, use_height=args.use_height, augment=False,
+        seed=args.rng_seed + 2)
+    return labeled, weak, val
+
+
+def evaluate(args, model, state, val_loader, dataset_config, logger,
+             use_ema=False, max_batches=None):
+    """evaluate_one_epoch (train.py:609-768): quad F1 + object mAP."""
+    import jax.numpy as jnp
+    from ..train import make_eval_step
+    from ..evals import (parse_quad_predictions, parse_quad_groundtruths,
+                         parse_predictions, parse_groundtruths,
+                         QuadAPCalculator, APCalculator)
+
+    config_dict = {"remove_empty_box": False, "use_3d_nms": True,
+                   "nms_iou": 0.25, "use_old_type_nms": False,
+                   "cls_nms": True, "per_class_proposal": True,
+                   "conf_thresh": 0.0, "quad_thresh": 0.5,
+                   "dataset_config": dataset_config,
+                   "nms_iou_quad": args.nms_iou_quad}
+    eval_step = make_eval_step(model)
+    quad_calc = QuadAPCalculator(ap_iou_thresh=args.ap_iou_thresholds[0])
+    obj_calcs = {t: APCalculator(ap_iou_thresh=t)
+                 for t in args.ap_iou_thresholds}
+
+    for bi, batch in enumerate(val_loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        ep = eval_step(state, jnp.asarray(batch["point_clouds"]),
+                       use_ema=use_ema)
+        ep = {k: np.asarray(v) for k, v in ep.items()}
+        merged = dict(ep)
+        merged.update(batch)
+        pred_cls, _, pred_corners = parse_quad_predictions(
+            merged, config_dict, "last_")
+        gt_cls, gt_corners = parse_quad_groundtruths(merged, config_dict)
+        quad_calc.step(pred_cls, gt_cls, pred_corners, gt_corners,
+                       list(batch["horizontal_quads"]))
+        if not args.faster_eval:
+            obj_pred, _ = parse_predictions(merged, config_dict, "last_")
+            obj_gt = parse_groundtruths(merged, config_dict)
+            for calc in obj_calcs.values():
+                calc.step(obj_pred, obj_gt)
+
+    f1 = quad_calc.compute_F1(calculated=True)
+    tag = "ema" if use_ema else "student"
+    logger.info(f"[eval:{tag}] quad F1 = {f1:.4f}")
+    if not args.faster_eval:
+        for t, calc in obj_calcs.items():
+            metrics = calc.compute_metrics()
+            logger.info(f"[eval:{tag}] mAP@{t} = {metrics['mAP']:.4f} "
+                        f"AR = {metrics['AR']:.4f}")
+    return f1
+
+
+def main(argv=None):
+    args = parse_option(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from ..config import ModelConfig, DatasetConfig, SCANNET_MEAN_SIZES
+    from ..data import Loader, endless
+    from ..models import PQTransformer
+    from ..parallel import make_mesh, shard_batch, replicate
+    from ..train import (TrainFlags, OptimizerConfig, create_train_state,
+                         make_train_step, consistency_weight,
+                         save_checkpoint, load_checkpoint)
+    from ..utils.logger import setup_logger
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    logger = setup_logger(args.log_dir, distributed_rank=jax.process_index())
+    logger.info(" ".join(sys.argv))
+    with open(os.path.join(args.log_dir, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    labeled_ds, weak_ds, val_ds = get_datasets(args)
+    logger.info(f"datasets: labeled {len(labeled_ds)} weak {len(weak_ds)} "
+                f"val {len(val_ds)}")
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    local_bs = args.batch_size
+    # pad the per-step batch up to a multiple of the device count
+    if local_bs % n_dev != 0 and n_dev > 1:
+        local_bs = -(-local_bs // n_dev) * n_dev
+        logger.info(f"batch size padded {args.batch_size} -> {local_bs} for "
+                    f"{n_dev} devices")
+
+    train_loader = Loader(labeled_ds, local_bs, seed=args.rng_seed,
+                          shard_id=jax.process_index(),
+                          num_shards=jax.process_count())
+    weak_iter = endless(Loader(weak_ds, local_bs, seed=args.rng_seed + 1))
+    val_loader = Loader(val_ds, min(16, len(val_ds)), shuffle=False,
+                        drop_last=False)
+
+    cfg = make_model_config(args)
+    dataset_config = DatasetConfig()
+    model = PQTransformer(cfg)
+
+    rng = jax.random.PRNGKey(args.rng_seed)
+    sample = next(iter(train_loader))
+    variables = jax.jit(model.init)(rng, jnp.asarray(sample["point_clouds"]))
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"model: {n_params / 1e6:.2f}M params, {n_dev} devices")
+
+    iters_per_epoch = max(len(train_loader), 1)
+    warmup_steps = (args.warmup_epoch * iters_per_epoch
+                    if args.warmup_epoch > 0 else 0)
+    opt_cfg = OptimizerConfig(
+        learning_rate=args.learning_rate,
+        decoder_learning_rate=args.decoder_learning_rate,
+        weight_decay=args.weight_decay, clip_norm=args.clip_norm,
+        total_steps=(args.max_epoch - max(args.warmup_epoch, 0)) * iters_per_epoch,
+        warmup_steps=warmup_steps, warmup_multiplier=args.warmup_multiplier,
+        step_freq=args.step_freq)
+    state = create_train_state(variables, opt_cfg, ema=True)
+    start_epoch = args.start_epoch
+    if args.checkpoint_path:
+        state, ckpt_epoch = load_checkpoint(args.checkpoint_path, state)
+        start_epoch = ckpt_epoch + 1
+        logger.info(f"resumed from {args.checkpoint_path} at epoch {ckpt_epoch}")
+    state = replicate(state, mesh)
+
+    flags = TrainFlags(
+        ema=args.ema, gamma_mixture=args.gamma_mixture, arkit=args.arkit,
+        pc_loss=args.pc_loss, use_fitted_mixture=args.use_fitted_mixture,
+        ema_decay=args.ema_decay,
+        lambda_metric_normal=args.lambda_metric_normal,
+        lambda_metric_vertical=args.lambda_metric_vertical,
+        lambda_metric_size=args.lambda_metric_size,
+        lambda_metric_score=args.lambda_metric_score,
+        lambda_arkit_pc_loss=args.lambda_arkit_pc_loss)
+    train_step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+
+    f1, ema_f1, max_f1, max_ema_f1 = 0.0, 0.2, 0.0, 0.2
+    step_rng = jax.random.PRNGKey(args.rng_seed + 123)
+    for epoch in range(start_epoch, args.max_epoch + 1):
+        train_loader.set_epoch(epoch)
+        tic = time.time()
+        stat_acc, n_acc = {}, 0
+        cw = consistency_weight(epoch, args.consistency_weight,
+                                args.consistency_rampup)
+        for batch_idx, batch in enumerate(train_loader):
+            weak = next(weak_iter)
+            lb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            wk = shard_batch({k: jnp.asarray(v) for k, v in weak.items()}, mesh)
+            step_rng, k = jax.random.split(step_rng)
+            state, stats = train_step(state, lb, wk, k, jnp.float32(cw))
+            for key in ("total_loss", "loss", "vote_loss", "objectness_loss",
+                        "box_loss", "quad_loss_sum", "consistency_loss",
+                        "gamma_mixture_filter_loss", "grad_norm"):
+                if key in stats:
+                    stat_acc[key] = stat_acc.get(key, 0.0) + float(stats[key])
+            n_acc += 1
+            if (batch_idx + 1) % args.print_freq == 0:
+                msg = " ".join(f"{k} {v / n_acc:.4f}"
+                               for k, v in sorted(stat_acc.items()))
+                logger.info(f"Train: [{epoch}][{batch_idx + 1}/"
+                            f"{len(train_loader)}] {msg}")
+                stat_acc, n_acc = {}, 0
+        logger.info(f"epoch {epoch}, total time {time.time() - tic:.2f}s")
+
+        if epoch % args.val_freq == 1 or args.val_freq == 1:
+            f1 = evaluate(args, model, state, val_loader, dataset_config,
+                          logger, use_ema=False)
+            ema_f1 = evaluate(args, model, state, val_loader, dataset_config,
+                              logger, use_ema=True)
+            if jax.process_index() == 0:
+                if f1 > max_f1:
+                    save_checkpoint(args.log_dir, "best", state, epoch)
+                    max_f1 = f1
+                if ema_f1 > max_ema_f1:
+                    save_checkpoint(args.log_dir, "ema_best", state, epoch)
+                    max_ema_f1 = ema_f1
+        if jax.process_index() == 0 and epoch % args.save_freq == 0:
+            save_checkpoint(args.log_dir, epoch, state, epoch)
+
+    if jax.process_index() == 0:
+        save_checkpoint(args.log_dir, "last", state, args.max_epoch)
+    logger.info(f"done; best F1 {max_f1:.4f} ema {max_ema_f1:.4f}")
+    return max_f1, max_ema_f1
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,5 @@
+from .mesh import (make_mesh, batch_sharding, replicated_sharding,
+                   shard_batch, replicate, per_host_batch_size)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "replicate", "per_host_batch_size"]

@@ -1,0 +1,162 @@
+"""The jitted semi-supervised train step (train.py:456-606 as one XLA graph).
+
+One step = student forward on the double batch (labeled ‖ weak), teacher
+forward on the independently-sampled ema point clouds, all four loss families
+(supervised on the labeled half, gamma-mixture pseudo-labels on the weak
+half, mean-teacher consistency on the full batch, ARKit pc loss), backward,
+clipped AdamW update, and the EMA teacher update — with no host round trip
+anywhere (the reference synchronizes per scene per step for the scipy gamma
+fit, gamma_mixture_loss_util.py:63-69).
+
+Batch dicts follow the reference dataset key names (§3.4 of SURVEY.md).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .. import losses
+from .state import TrainState
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainFlags:
+    """Static loss toggles (mirror the reference CLI flags)."""
+    ema: bool = True
+    gamma_mixture: bool = True
+    arkit: bool = False
+    pc_loss: bool = True
+    use_fitted_mixture: bool = False
+    ema_decay: float = 0.999
+    lambda_metric_normal: float = 5e-4
+    lambda_metric_vertical: float = 5e-4
+    lambda_metric_size: float = 5e-4
+    lambda_metric_score: float = 5e-4
+    lambda_arkit_pc_loss: float = 0.0
+
+
+def make_train_step(model, cfg: ModelConfig, mean_size_arr,
+                    flags: TrainFlags):
+    """Returns jitted fn(state, labeled, weak, rng, consistency_weight) ->
+    (state, stats). `labeled`/`weak` are dicts of fixed-shape arrays; `weak`
+    may equal `labeled` when flags disable the semi-supervised path."""
+    num_layer = cfg.num_decoder_layers
+
+    def loss_fn(params, batch_stats, ema_params, ema_batch_stats, labeled,
+                weak, rng, consistency_weight):
+        rng_drop, rng_ema_drop, rng_gamma = jax.random.split(rng, 3)
+        if flags.ema or flags.gamma_mixture or flags.arkit:
+            inputs = jnp.concatenate([labeled["point_clouds"],
+                                      weak["point_clouds"]], axis=0)
+        else:
+            inputs = labeled["point_clouds"]
+        B = labeled["point_clouds"].shape[0]
+
+        ep, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inputs,
+            train=True, rngs={"dropout": rng_drop}, mutable=["batch_stats"])
+
+        stats: Dict[str, jnp.ndarray] = {}
+
+        # 1. supervised loss on the labeled half
+        gt_ep = {k: v[:B] for k, v in ep.items()}
+        gt_ep.update(labeled)
+        sup_loss, sup_stats = losses.get_loss(gt_ep, mean_size_arr,
+                                              num_layer=num_layer,
+                                              pc_loss=flags.pc_loss)
+        stats.update(sup_stats)
+
+        total = sup_loss
+
+        # 2. gamma-mixture pseudo-labels on the weak half
+        if flags.gamma_mixture:
+            gm_ep = {k: v[B:] for k, v in ep.items()}
+            gm_ep["point_clouds"] = weak["point_clouds"][..., :3]
+            gm_ep["vertex_normals"] = weak["vertex_normals"]
+            mn, mv, ms, msc = losses.gamma_mixture_guide_criterion(
+                gm_ep, rng_gamma, use_fitted=flags.use_fitted_mixture)
+            gm_loss = (flags.lambda_metric_normal * mn
+                       + flags.lambda_metric_vertical * mv
+                       + flags.lambda_metric_size * ms
+                       + flags.lambda_metric_score * msc)
+            stats["metric_normal"] = mn
+            stats["metric_vertical"] = mv
+            stats["metric_size"] = ms
+            stats["metric_score"] = msc
+            stats["gamma_mixture_filter_loss"] = gm_loss
+            total = total + gm_loss
+
+        # 3. mean-teacher consistency over the full double batch
+        new_ema_batch_stats = ema_batch_stats
+        if flags.ema:
+            ema_inputs = jnp.concatenate([labeled["ema_point_clouds"],
+                                          weak["ema_point_clouds"]], axis=0)
+            ema_ep, ema_mut = model.apply(
+                {"params": ema_params, "batch_stats": ema_batch_stats},
+                ema_inputs, train=True, rngs={"dropout": rng_ema_drop},
+                mutable=["batch_stats"])
+            ema_ep = jax.lax.stop_gradient(ema_ep)
+            new_ema_batch_stats = ema_mut["batch_stats"]
+            cons_ep = dict(ep)
+            for key in ["flip_x_axis", "flip_y_axis", "rot_mat", "scale"]:
+                cons_ep[key] = jnp.concatenate([labeled[key], weak[key]], axis=0)
+            cons_loss, cons_stats = losses.get_consistency_loss(
+                cons_ep, ema_ep, mean_size_arr, num_layer=num_layer)
+            cons_loss = cons_loss * consistency_weight
+            stats.update(cons_stats)
+            stats["consistency_loss"] = cons_loss
+            total = total + cons_loss
+
+        # 4. ARKit omni-supervised pc loss on the weak half
+        if flags.arkit:
+            ark_loss, collisions = losses.get_arkit_pc_loss(
+                ep, {"center_label": weak["center_label"],
+                     "size_label": weak["size_label"],
+                     "num_gt_boxes": weak["num_gt_boxes"]})
+            ark_loss = ark_loss * flags.lambda_arkit_pc_loss
+            stats["arkit_pc_loss"] = ark_loss
+            stats["arkit_collisions"] = collisions
+            total = total + ark_loss
+
+        stats["total_loss"] = total
+        return total, (stats, mutated["batch_stats"], new_ema_batch_stats)
+
+    @jax.jit
+    def train_step(state: TrainState, labeled: Dict, weak: Dict, rng,
+                   consistency_weight) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (stats, new_bs, new_ema_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.ema_params,
+            state.ema_batch_stats, labeled, weak, rng, consistency_weight)
+        stats["grad_norm"] = optax_global_norm(grads)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs,
+                              ema_batch_stats=new_ema_bs)
+        if flags.ema:
+            state = state.ema_update(flags.ema_decay)
+        return state, stats
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x * x) for x in leaves))
+
+
+def make_eval_step(model):
+    """Jitted inference forward (eval mode, running BN stats, no dropout)."""
+
+    @functools.partial(jax.jit, static_argnames=("use_ema",))
+    def eval_step(state: TrainState, point_clouds, use_ema: bool = False):
+        params = state.ema_params if use_ema else state.params
+        batch_stats = (state.ema_batch_stats if use_ema else state.batch_stats)
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           point_clouds, train=False)
+
+    return eval_step

@@ -1,0 +1,29 @@
+"""End-to-end CLI smoke: 2 epochs of semi-supervised training on synthetic
+rooms with the tiny model, then standalone eval on the saved checkpoint —
+exercises the full stack (data -> jitted step -> metrics -> checkpoints)."""
+import glob
+import os
+
+import numpy as np
+
+from omni_pq_tpu.cli import train as train_cli
+from omni_pq_tpu.cli import eval as eval_cli
+
+
+def test_train_then_eval(tmp_path):
+    log_dir = str(tmp_path / "run")
+    argv = ["--smoke", "--synthetic_data", "--num_point", "512",
+            "--batch_size", "2", "--max_epoch", "2", "--end_proportion", "1.0",
+            "--ema", "--pc_loss", "--val_freq", "1", "--save_freq", "1",
+            "--print_freq", "4", "--log_dir", log_dir, "--faster_eval"]
+    max_f1, max_ema_f1 = train_cli.main(argv)
+    assert os.path.exists(os.path.join(log_dir, "config.json"))
+    ckpts = glob.glob(os.path.join(log_dir, "ckpt_epoch_*"))
+    assert any(c.endswith("last") for c in ckpts)
+
+    f1 = eval_cli.main(["--smoke", "--synthetic_data", "--num_point", "512",
+                        "--batch_size", "2", "--faster_eval",
+                        "--log_dir", str(tmp_path / "eval"),
+                        "--checkpoint_path",
+                        os.path.join(log_dir, "ckpt_epoch_last")])
+    assert np.isfinite(f1)

@@ -1,0 +1,77 @@
+"""Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+from omni_pq_tpu.data.synthetic import make_batch
+from omni_pq_tpu.models import PQTransformer
+from omni_pq_tpu.parallel import make_mesh, shard_batch, replicate, batch_sharding
+from omni_pq_tpu.train import (TrainFlags, OptimizerConfig, create_train_state,
+                               make_train_step)
+from tests.util import TINY
+
+
+def test_mesh_shape():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (8, 1)
+
+
+def test_sharded_batch_layout(rng):
+    mesh = make_mesh()
+    b = {k: jnp.asarray(v) for k, v in make_batch(rng, 8, 256, num_objects=2).items()}
+    sb = shard_batch(b, mesh)
+    assert sb["point_clouds"].sharding == batch_sharding(mesh)
+
+
+def test_data_parallel_step_matches_single_device(rng):
+    """The sharded train step must produce the same update as the unsharded
+    one — XLA's inserted all-reduce == DDP gradient averaging."""
+    mesh = make_mesh()
+    model = PQTransformer(TINY)
+    labeled = {k: jnp.asarray(v)
+               for k, v in make_batch(rng, 8, TINY.num_points, num_objects=3).items()}
+    weak = {k: jnp.asarray(v)
+            for k, v in make_batch(rng, 8, TINY.num_points, num_objects=3).items()}
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    labeled["point_clouds"])
+    flags = TrainFlags(ema=True, gamma_mixture=False, pc_loss=True)
+    step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+
+    # single-device baseline
+    state1 = create_train_state(variables, OptimizerConfig(total_steps=100))
+    state1, stats1 = step(state1, labeled, weak, jax.random.PRNGKey(1),
+                          jnp.float32(0.05))
+
+    # sharded
+    state2 = create_train_state(variables, OptimizerConfig(total_steps=100))
+    state2 = replicate(state2, mesh)
+    slab = shard_batch(labeled, mesh)
+    swk = shard_batch(weak, mesh)
+    state2, stats2 = step(state2, slab, swk, jax.random.PRNGKey(1),
+                          jnp.float32(0.05))
+
+    np.testing.assert_allclose(float(stats1["total_loss"]),
+                               float(stats2["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(stats1["grad_norm"]),
+                               float(stats2["grad_norm"]), rtol=1e-3)
+    # Adam's m/sqrt(v) is sign-sensitive for near-zero grads, so f32
+    # reduction-order differences across devices can flip isolated elements
+    # by ~lr; require elementwise agreement for (nearly) all params.
+    p1 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(state1.params)])
+    p2 = np.concatenate([np.asarray(x).ravel()
+                         for x in jax.tree_util.tree_leaves(state2.params)])
+    frac = np.mean(np.isclose(p1, p2, atol=2e-5))
+    assert frac > 0.97, frac
+
+
+def test_graft_dryrun():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        from __graft_entry__ import dryrun_multichip
+        dryrun_multichip(8)
+    finally:
+        sys.path.pop(0)

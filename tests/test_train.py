@@ -1,0 +1,176 @@
+"""Train-tier tests: optimizer grouping, schedules, the full jitted
+semi-supervised train step on synthetic scenes, EMA, checkpointing."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+from omni_pq_tpu.data.synthetic import make_batch, make_scene
+from omni_pq_tpu.models import PQTransformer
+from omni_pq_tpu.train import (TrainFlags, OptimizerConfig, TrainState,
+                               create_train_state, make_train_step,
+                               make_eval_step, warmup_cosine,
+                               consistency_weight, save_checkpoint,
+                               load_checkpoint)
+from tests.util import TINY
+
+
+def jbatch(rng, n=2, num_points=512):
+    b = make_batch(rng, n, num_points, num_objects=3)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    labeled = jbatch(rng)
+    weak = jbatch(rng)
+    model = PQTransformer(TINY)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    labeled["point_clouds"])
+    return model, variables, labeled, weak
+
+
+class TestSchedule:
+    def test_cosine_matches_torch_formula(self):
+        sched = warmup_cosine(2e-3, 100, warmup_steps=0)
+        t = 40
+        want = 1e-6 + (2e-3 - 1e-6) * 0.5 * (1 + np.cos(np.pi * t / 100))
+        np.testing.assert_allclose(float(sched(t)), want, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(0)), 2e-3, rtol=1e-6)
+
+    def test_warmup(self):
+        sched = warmup_cosine(2e-3, 1000, warmup_steps=100, warmup_multiplier=100)
+        np.testing.assert_allclose(float(sched(0)), 2e-5, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(100)), 2e-3, rtol=1e-5)
+        assert float(sched(50)) < 2e-3
+
+    def test_consistency_rampup(self):
+        assert consistency_weight(0, 0.05, 10) < 0.001
+        np.testing.assert_allclose(consistency_weight(10, 0.05, 10), 0.05)
+        assert consistency_weight(5, 0.05, 10) < 0.05
+
+
+class TestOptimizer:
+    def test_decoder_group_gets_lower_lr(self, setup):
+        model, variables, labeled, _ = setup
+        state = create_train_state(variables, OptimizerConfig(total_steps=100))
+        # one step with uniform fake grads: decoder params move less
+        grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+        new_state = state.apply_gradients(grads)
+        # adam normalizes so step size == lr at t=0 (bias-corrected)
+        base_delta = np.abs(np.asarray(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: a - b,
+                                   state.params["vote"],
+                                   new_state.params["vote"]))[0])).max()
+        dec_delta = np.abs(np.asarray(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda a, b: a - b,
+                                   state.params["decoder_layer0"],
+                                   new_state.params["decoder_layer0"]))[0])).max()
+        assert dec_delta < base_delta * 0.2
+
+
+class TestTrainStep:
+    def test_full_step_runs_and_improves(self, setup):
+        model, variables, labeled, weak = setup
+        flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False,
+                           pc_loss=True)
+        state = create_train_state(variables, OptimizerConfig(total_steps=200))
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        rng = jax.random.PRNGKey(0)
+        losses = []
+        for i in range(12):
+            rng, k = jax.random.split(rng)
+            state, stats = step(state, labeled, weak, k, jnp.float32(0.05))
+            losses.append(float(stats["total_loss"]))
+        assert all(np.isfinite(losses))
+        assert int(state.step) == 12
+        # overfitting a fixed batch must reduce the loss
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_ema_tracks_student(self, setup):
+        model, variables, labeled, weak = setup
+        flags = TrainFlags(ema=True, gamma_mixture=False, pc_loss=False)
+        state = create_train_state(variables, OptimizerConfig(total_steps=200))
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        state2, _ = step(state, labeled, weak, jax.random.PRNGKey(1),
+                         jnp.float32(0.0))
+        # step 1: alpha = min(1-1/2, 0.999) = 0.5 -> ema halfway to student
+        p0 = jax.tree_util.tree_leaves(state.params)[0]
+        p1 = jax.tree_util.tree_leaves(state2.params)[0]
+        e1 = jax.tree_util.tree_leaves(state2.ema_params)[0]
+        np.testing.assert_allclose(np.asarray(e1),
+                                   np.asarray(0.5 * p0 + 0.5 * p1), atol=1e-6)
+
+    def test_supervised_only_mode(self, setup):
+        model, variables, labeled, _ = setup
+        flags = TrainFlags(ema=False, gamma_mixture=False, arkit=False,
+                           pc_loss=True)
+        state = create_train_state(variables, OptimizerConfig(total_steps=200),
+                                   ema=False)
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        state, stats = step(state, labeled, labeled, jax.random.PRNGKey(0),
+                            jnp.float32(0.0))
+        assert np.isfinite(float(stats["total_loss"]))
+        assert "consistency_loss" not in stats
+
+    def test_arkit_mode(self, setup):
+        model, variables, labeled, weak = setup
+        flags = TrainFlags(ema=False, gamma_mixture=False, arkit=True,
+                           pc_loss=False, lambda_arkit_pc_loss=0.1)
+        state = create_train_state(variables, OptimizerConfig(total_steps=200),
+                                   ema=False)
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        state, stats = step(state, labeled, weak, jax.random.PRNGKey(0),
+                            jnp.float32(0.0))
+        assert np.isfinite(float(stats["arkit_pc_loss"]))
+
+    def test_eval_step(self, setup):
+        model, variables, labeled, _ = setup
+        state = create_train_state(variables, OptimizerConfig(total_steps=10))
+        ev = make_eval_step(model)
+        ep = ev(state, labeled["point_clouds"])
+        assert "last_quad_center" in ep
+        ep_ema = ev(state, labeled["point_clouds"], use_ema=True)
+        np.testing.assert_allclose(np.asarray(ep["last_quad_center"]),
+                                   np.asarray(ep_ema["last_quad_center"]),
+                                   atol=1e-5)  # identical params at init
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, setup, tmp_path):
+        model, variables, labeled, weak = setup
+        state = create_train_state(variables, OptimizerConfig(total_steps=200))
+        flags = TrainFlags(ema=True, gamma_mixture=False, pc_loss=False)
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        state, _ = step(state, labeled, weak, jax.random.PRNGKey(0),
+                        jnp.float32(0.0))
+        path = save_checkpoint(str(tmp_path), 5, state, epoch=5)
+        fresh = create_train_state(variables, OptimizerConfig(total_steps=200))
+        restored, epoch = load_checkpoint(path, fresh)
+        assert epoch == 5
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+        assert int(restored.step) == 1
+
+
+class TestSynthetic:
+    def test_scene_shapes(self, rng):
+        s = make_scene(rng, 512)
+        assert s["point_clouds"].shape == (512, 3)
+        assert s["vote_label"].shape == (512, 9)
+        assert s["gt_quad_centers"].shape == (32, 3)
+        assert s["num_gt_quads"] == 4
+        # wall points sit on the quad planes
+        assert np.isfinite(s["point_clouds"]).all()
+
+    def test_votes_point_to_centers(self, rng):
+        s = make_scene(rng, 2048, num_objects=3)
+        m = s["vote_label_mask"].astype(bool)
+        assert m.sum() > 0
+        voted = s["point_clouds"][m] + s["vote_label"][m][:, :3]
+        centers = s["center_label"][:int(s["num_gt_boxes"])]
+        d = np.linalg.norm(voted[:, None] - centers[None], axis=-1).min(1)
+        assert d.max() < 1e-5
