@@ -20,6 +20,7 @@ import numpy as np
 
 from .quads import arkit_quads_from_annotation
 from .scannet import rotz, random_sampling, rotate_aligned_boxes
+from .spatial import spatial_sort
 
 MAX_NUM_OBJ = 64
 MAX_NUM_QUAD = 32
@@ -110,9 +111,13 @@ class ARKitSceneDataset:
 
         point_cloud, choices = random_sampling(mesh_vertices, self.num_points,
                                                rng, return_choices=True)
+        sperm = spatial_sort(point_cloud)
+        point_cloud = point_cloud[sperm]
+        choices = choices[sperm]
         sel_normals = vertex_normals[choices]
         ema_point_clouds, _ = random_sampling(mesh_vertices, self.num_points,
                                               rng, return_choices=True)
+        ema_point_clouds = ema_point_clouds[spatial_sort(ema_point_clouds)]
 
         flip_YZ_XZ = np.array([False, False])
         rot_mat = np.identity(3)

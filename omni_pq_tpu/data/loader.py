@@ -71,3 +71,30 @@ def endless(loader: Loader) -> Iterator[Dict[str, np.ndarray]]:
         loader.set_epoch(epoch)
         yield from loader
         epoch += 1
+
+
+class DoubleLoader:
+    """Alternating A/B iterator (double_loader.py:1-29): yields batches from
+    two loaders in turn; the shorter one restarts endlessly while one full
+    pass of the longer one defines an epoch."""
+
+    def __init__(self, loader_a, loader_b):
+        self.loader_a = loader_a
+        self.loader_b = loader_b
+
+    def __len__(self):
+        return 2 * max(len(self.loader_a), len(self.loader_b))
+
+    def __iter__(self):
+        longer, shorter, a_first = (
+            (self.loader_a, self.loader_b, True)
+            if len(self.loader_a) >= len(self.loader_b)
+            else (self.loader_b, self.loader_a, False))
+        short_it = endless(shorter)
+        for batch in longer:
+            if a_first:
+                yield batch
+                yield next(short_it)
+            else:
+                yield next(short_it)
+                yield batch

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..config import SCANNET_MEAN_SIZES, SCANNET_NYU40_IDS
 from .quads import get_quads
+from .spatial import spatial_sort
 
 MAX_NUM_OBJ = 64
 MAX_NUM_QUAD = 32
@@ -139,11 +140,16 @@ class ScannetDetectionDataset:
         size_residuals = np.zeros((MAX_NUM_OBJ, 3))
         size_gts = np.zeros((MAX_NUM_OBJ, 3))
 
-        # two independent downsamples: teacher (ema) and student views
+        # two independent downsamples: teacher (ema) and student views;
+        # both emitted in Morton order (see data/spatial.py)
         ema_point_clouds, _ = random_sampling(point_cloud, self.num_points,
                                               rng, return_choices=True)
+        ema_point_clouds = ema_point_clouds[spatial_sort(ema_point_clouds)]
         point_cloud, choices = random_sampling(point_cloud, self.num_points,
                                                rng, return_choices=True)
+        sperm = spatial_sort(point_cloud)
+        point_cloud = point_cloud[sperm]
+        choices = choices[sperm]
         instance_labels = instance_labels[choices]
         semantic_labels = semantic_labels[choices]
         vertex_normals = vertex_normals[choices]

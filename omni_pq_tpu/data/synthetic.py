@@ -14,6 +14,7 @@ from typing import Dict
 import numpy as np
 
 from ..config import DatasetConfig, SCANNET_MEAN_SIZES
+from .spatial import spatial_sort
 
 MAX_NUM_OBJ = 64
 MAX_NUM_QUAD = 32
@@ -116,7 +117,8 @@ def make_scene(rng: np.random.Generator, num_points: int = 40000,
         point_cloud = np.concatenate([point_cloud, point_cloud[:pad]])
         normals = np.concatenate([normals, normals[:pad]])
         instance = np.concatenate([instance, instance[:pad]])
-    perm = rng.permutation(num_points)
+    # Morton order: spatially-coherent chunks for the ball-query bbox skip
+    perm = spatial_sort(point_cloud)
     point_cloud, normals, instance = point_cloud[perm], normals[perm], instance[perm]
 
     # votes: box points vote to their instance center
@@ -154,11 +156,14 @@ def make_scene(rng: np.random.Generator, num_points: int = 40000,
     horizontal[0] = ceiling
     horizontal[1] = floor
 
-    ema_perm = rng.permutation(num_points)
+    # teacher view: an independent jittered resample, Morton-ordered
+    ema_pc = point_cloud[rng.permutation(num_points)] \
+        + rng.normal(scale=0.005, size=(num_points, 3))
+    ema_pc = ema_pc[spatial_sort(ema_pc)]
 
     return {
         "point_clouds": point_cloud.astype(np.float32),
-        "ema_point_clouds": point_cloud[ema_perm].astype(np.float32),
+        "ema_point_clouds": ema_pc.astype(np.float32),
         "vertex_normals": normals.astype(np.float32),
         "center_label": center_label.astype(np.float32),
         "heading_class_label": np.zeros(MAX_NUM_OBJ, np.int64),

@@ -81,6 +81,63 @@ class SAModuleVotes(nn.Module):
         return new_xyz, jnp.max(out, axis=2), inds
 
 
+class SAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (PointnetSAModuleMSG /
+    PointnetSAModuleMSGVotes, pointnet2_modules.py:78-158, 274-353): one FPS,
+    several (radius, nsample, mlp) branches whose pooled features are
+    concatenated. Unused by the reference's main path but part of its module
+    surface."""
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    normalize_xyz: bool = False
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
+                 inds: Optional[jnp.ndarray] = None, train: bool = False):
+        if inds is None:
+            inds = fps(xyz, self.npoint)
+        new_xyz = gather_points(xyz, inds)
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            idx = ball_query(radius, nsample, xyz, new_xyz)
+            grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+            if self.normalize_xyz:
+                grouped_xyz = grouped_xyz / radius
+            if features is not None:
+                grouped = group_points(features, idx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+            else:
+                grouped = grouped_xyz
+            out = SharedMLP(mlp, name=f"mlp{i}")(grouped, train=train)
+            outs.append(jnp.max(out, axis=2))
+        return new_xyz, jnp.concatenate(outs, axis=-1), inds
+
+
+class GroupAllModule(nn.Module):
+    """GroupAll (pointnet2_utils.py:379-425): the whole cloud as one group
+    followed by a SharedMLP + max-pool -> a single global feature."""
+    mlp_channels: Sequence[int]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        grouped = xyz[:, None]  # (B, 1, N, 3)
+        if features is not None:
+            f = features[:, None]
+            if self.use_xyz:
+                grouped = jnp.concatenate([grouped, f], axis=-1)
+            else:
+                grouped = f
+        out = SharedMLP(self.mlp_channels, name="mlp")(grouped, train=train)
+        return jnp.max(out, axis=2)  # (B, 1, C)
+
+
 class FPModule(nn.Module):
     """Feature propagation: 3-NN inverse-distance upsampling + SharedMLP.
 

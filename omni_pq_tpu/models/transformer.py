@@ -39,6 +39,34 @@ class VotingModule(nn.Module):
         return vote_xyz, vote_features
 
 
+class PointsObjClsModule(nn.Module):
+    """Per-seed objectness logits (models/utils/pointnet_util.py:330-356);
+    part of the reference module surface (used by its kps sampling variant)."""
+    seed_feature_dim: int
+
+    @nn.compact
+    def __call__(self, seed_features, train: bool = False):
+        """(B, S, C) -> (B, S, 1) logits."""
+        d = self.seed_feature_dim
+        net = nn.Dense(d, name="conv1")(seed_features)
+        net = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                   momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                   name="bn1")(net))
+        net = nn.Dense(d, name="conv2")(net)
+        net = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                   momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                   name="bn2")(net))
+        return nn.Dense(1, name="conv3")(net)
+
+
+def general_sampling(xyz, features, sample_inds):
+    """GeneralSamplingModule (pointnet_util.py:361-375): gather xyz+features
+    at given indices."""
+    from ..ops import gather_points
+    return (gather_points(xyz, sample_inds),
+            gather_points(features, sample_inds), sample_inds)
+
+
 class PositionEmbeddingLearned(nn.Module):
     """Learned absolute position embedding over xyz
     (pq_transformer.py:17-33)."""

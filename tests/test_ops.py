@@ -99,6 +99,17 @@ class TestBallQuery:
         want = np.asarray(ops.ball_query_ref(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
         np.testing.assert_array_equal(got, want)
 
+    def test_pallas_matches_ref_morton_ordered(self, rng):
+        # the production data pipeline emits Morton-ordered clouds; the
+        # chunk-bbox skip must stay bitwise-exact on them
+        from omni_pq_tpu.data.spatial import spatial_sort
+        xyz = rng.uniform(size=(2, 2000, 3)).astype(np.float32) * 3
+        xyz = np.stack([xyz[b][spatial_sort(xyz[b])] for b in range(2)])
+        ctr = xyz[:, ::10][:, :200]
+        got = np.asarray(ops.ball_query(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
+        want = np.asarray(ops.ball_query_ref(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
+        np.testing.assert_array_equal(got, want)
+
     def test_no_hits_gives_zero(self):
         xyz = jnp.ones((1, 100, 3)) * 5.0
         ctr = jnp.zeros((1, 10, 3))
