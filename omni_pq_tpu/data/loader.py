@@ -73,6 +73,60 @@ def endless(loader: Loader) -> Iterator[Dict[str, np.ndarray]]:
         epoch += 1
 
 
+class PrefetchLoader:
+    """Threaded prefetching wrapper: worker threads build the next batches
+    while the accelerator runs the current step (the role of torch
+    DataLoader's C++ worker processes; the heavy per-scene ops call into the
+    native core in omni_pq_tpu/native, which releases the GIL)."""
+
+    def __init__(self, loader: Loader, num_workers: int = 4,
+                 prefetch: int = 4):
+        self.loader = loader
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        idx = self.loader._indices()
+        nb = len(self.loader)
+        bs = self.loader.batch_size
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = []
+                for b in range(nb):
+                    chunk = idx[b * bs:(b + 1) * bs]
+                    futures.append(pool.map(
+                        lambda i: self.loader.dataset[int(i)], chunk))
+                for fut in futures:
+                    if stop.is_set():
+                        return
+                    q.put(collate(list(fut)))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+
+
 class DoubleLoader:
     """Alternating A/B iterator (double_loader.py:1-29): yields batches from
     two loaders in turn; the shorter one restarts endlessly while one full

@@ -25,7 +25,7 @@ import numpy as np
 
 from ..config import SCANNET_MEAN_SIZES, SCANNET_NYU40_IDS
 from .quads import get_quads
-from .spatial import spatial_sort
+from ..native import morton_argsort
 
 MAX_NUM_OBJ = 64
 MAX_NUM_QUAD = 32
@@ -144,10 +144,10 @@ class ScannetDetectionDataset:
         # both emitted in Morton order (see data/spatial.py)
         ema_point_clouds, _ = random_sampling(point_cloud, self.num_points,
                                               rng, return_choices=True)
-        ema_point_clouds = ema_point_clouds[spatial_sort(ema_point_clouds)]
+        ema_point_clouds = ema_point_clouds[morton_argsort(ema_point_clouds)]
         point_cloud, choices = random_sampling(point_cloud, self.num_points,
                                                rng, return_choices=True)
-        sperm = spatial_sort(point_cloud)
+        sperm = morton_argsort(point_cloud)
         point_cloud = point_cloud[sperm]
         choices = choices[sperm]
         instance_labels = instance_labels[choices]
@@ -211,19 +211,13 @@ class ScannetDetectionDataset:
         gt_centers = target_bboxes[:, 0:3].copy()
         gt_centers[n_box:, :] += 1000.0
 
-        # votes from instance membership (:229-246)
-        point_votes = np.zeros([self.num_points, 3])
-        point_votes_mask = np.zeros(self.num_points)
-        point_instance_label = np.zeros(self.num_points) - 1
-        for i_instance in np.unique(instance_labels):
-            ind = np.where(instance_labels == i_instance)[0]
-            if semantic_labels[ind[0]] in SCANNET_NYU40_IDS:
-                x = point_cloud[ind, :3]
-                center = 0.5 * (x.min(0) + x.max(0))
-                ilabel = np.argmin(((center - gt_centers) ** 2).sum(-1))
-                point_instance_label[ind] = ilabel
-                point_votes[ind, :] = center - x
-                point_votes_mask[ind] = 1.0
+        # votes from instance membership (:229-246) — native C++ core with
+        # numpy fallback (native/loader_core.cpp)
+        from ..native import compute_votes
+        sem_in_care = np.isin(semantic_labels, SCANNET_NYU40_IDS)
+        point_votes, point_votes_mask, point_instance_label = compute_votes(
+            point_cloud[:, :3].astype(np.float32),
+            instance_labels.astype(np.int64), sem_in_care, gt_centers)
         point_votes = np.tile(point_votes, (1, 3))
 
         nyu2class = {int(v): i for i, v in enumerate(SCANNET_NYU40_IDS)}
