@@ -84,6 +84,9 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--faster_eval', action='store_true')
     parser.add_argument('--smoke', action='store_true',
                         help='tiny model + tiny scenes for CI smoke runs')
+    parser.add_argument('--bf16', action='store_true',
+                        help='bfloat16 compute for the Dense/MXU path '
+                             '(params and losses stay float32)')
     return parser
 
 

@@ -29,6 +29,7 @@ def make_model_config(args):
         num_decoder_layers=args.num_decoder_layers, nhead=args.nhead,
         dim_feedforward=args.dim_feedforward,
         dropout=args.transformer_dropout, num_points=args.num_point,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
         input_feature_dim=int(args.use_color) * 3 + int(args.use_height))
     if args.smoke:
         kw.update(num_proposal=16, num_quad_proposal=16, num_decoder_layers=2,

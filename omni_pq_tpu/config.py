@@ -92,6 +92,9 @@ class ModelConfig:
     backbone_radii: tuple = (0.2, 0.4, 0.8, 1.2)
     vote_aggregation_nsample: int = 16
     num_points: int = 40000
+    # mixed precision: 'float32' or 'bfloat16' compute for the Dense/MXU
+    # path (params stay f32; BatchNorm/softmax/losses stay f32)
+    compute_dtype: str = "float32"
     # Deviation from the reference (documented): QuadPredictHead normalizes
     # predicted normals per-vector. The reference divides by the *global*
     # tensor norm (models/pq_transformer.py:112-113) — per-vector is the

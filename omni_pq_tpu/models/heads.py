@@ -16,14 +16,14 @@ import numpy as np
 from .pointnet2 import BN_MOMENTUM, BN_EPS
 
 
-def _trunk(net, hidden_dim, train):
-    net = nn.Dense(hidden_dim, name="conv1")(net)
+def _trunk(net, hidden_dim, train, dtype="float32"):
+    net = nn.Dense(hidden_dim, dtype=dtype, name="conv1")(net)
     net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                       epsilon=BN_EPS, name="bn1")(net)
+                       epsilon=BN_EPS, dtype=jnp.float32, name="bn1")(net)
     net = nn.relu(net)
-    net = nn.Dense(hidden_dim, name="conv2")(net)
+    net = nn.Dense(hidden_dim, dtype=dtype, name="conv2")(net)
     net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                       epsilon=BN_EPS, name="bn2")(net)
+                       epsilon=BN_EPS, dtype=jnp.float32, name="bn2")(net)
     return nn.relu(net)
 
 
@@ -35,11 +35,12 @@ class PredictHead(nn.Module):
     num_size_cluster: int
     num_class: int
     mean_size_arr: np.ndarray  # (num_size_cluster, 3)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, net, base_xyz, prefix: str, train: bool = False) -> Dict[str, jnp.ndarray]:
         """net (B,K,D), base_xyz (B,K,3) -> end_points update for `prefix`."""
-        net = _trunk(net, self.hidden_dim, train)
+        net = _trunk(net, self.hidden_dim, train, self.dtype)
         objectness = nn.Dense(2, name="objectness_scores_head")(net)
         center = nn.Dense(3, name="center_head")(net) + base_xyz
         heading_scores = nn.Dense(self.num_heading_bin, name="heading_class_head")(net)
@@ -82,10 +83,11 @@ class QuadPredictHead(nn.Module):
     """
     hidden_dim: int
     per_vector_norm: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, net, base_xyz, prefix: str, train: bool = False):
-        net = _trunk(net, self.hidden_dim, train)
+        net = _trunk(net, self.hidden_dim, train, self.dtype)
         quad_scores = nn.Dense(2, name="quad_scores_head")(net)
         center = nn.Dense(3, name="center_head")(net) + base_xyz
         normal = nn.Dense(3, name="normal_vector_head")(net)

@@ -29,18 +29,23 @@ BN_EPS = 1e-5
 
 
 class SharedMLP(nn.Module):
-    """Dense + BatchNorm + ReLU stack applied pointwise over the last axis."""
+    """Dense + BatchNorm + ReLU stack applied pointwise over the last axis.
+
+    `dtype` is the matmul compute dtype (bf16 mixed precision when set);
+    BatchNorm keeps float32 statistics either way."""
     channels: Sequence[int]
     bn: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i, c in enumerate(self.channels):
-            x = nn.Dense(c, use_bias=not self.bn, name=f"layer{i}")(x)
+            x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype,
+                         name=f"layer{i}")(x)
             if self.bn:
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 name=f"bn{i}")(x)
+                                 dtype=jnp.float32, name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -58,6 +63,7 @@ class SAModuleVotes(nn.Module):
     mlp_channels: Sequence[int]
     normalize_xyz: bool = False
     use_xyz: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
@@ -77,7 +83,8 @@ class SAModuleVotes(nn.Module):
                 grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
         else:
             grouped = grouped_xyz
-        out = SharedMLP(self.mlp_channels, name="mlp")(grouped, train=train)
+        out = SharedMLP(self.mlp_channels, dtype=self.dtype,
+                        name="mlp")(grouped, train=train)
         return new_xyz, jnp.max(out, axis=2), inds
 
 
@@ -145,6 +152,7 @@ class FPModule(nn.Module):
     order is [interpolated_known, skip] like the reference.
     """
     mlp_channels: Sequence[int]
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
@@ -152,4 +160,5 @@ class FPModule(nn.Module):
         interp = interpolate_features(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(self.mlp_channels, name="mlp")(interp, train=train)
+        return SharedMLP(self.mlp_channels, dtype=self.dtype,
+                         name="mlp")(interp, train=train)

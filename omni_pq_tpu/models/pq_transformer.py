@@ -37,10 +37,12 @@ class PQTransformer(nn.Module):
                  ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         hd = cfg.hidden_dim
+        dt = cfg.compute_dtype
 
         end_points = Pointnet2Backbone(
             input_feature_dim=cfg.input_feature_dim, width=cfg.backbone_width,
-            depth=cfg.backbone_depth, out_dim=hd, npoints=cfg.backbone_npoints,
+            depth=cfg.backbone_depth, out_dim=hd, dtype=dt,
+            npoints=cfg.backbone_npoints,
             nsamples=cfg.backbone_nsamples, radii=cfg.backbone_radii,
             name="backbone")(point_clouds, train=train)
         seed_xyz = end_points["fp2_xyz"]
@@ -53,7 +55,7 @@ class PQTransformer(nn.Module):
         end_points["aggregated_sample_xyz"] = quad_xyz
 
         # object branch query init: voting + L2-normalized features + SA
-        vote_xyz, vote_feat = VotingModule(hd, name="vote")(
+        vote_xyz, vote_feat = VotingModule(hd, dtype=dt, name="vote")(
             seed_xyz, seed_features, train=train)
         vote_feat = vote_feat / (jnp.linalg.norm(vote_feat, axis=-1,
                                                  keepdims=True) + 1e-8)
@@ -62,7 +64,7 @@ class PQTransformer(nn.Module):
         cluster_xyz, cluster_feat, _ = SAModuleVotes(
             npoint=cfg.num_proposal, radius=0.3,
             nsample=cfg.vote_aggregation_nsample,
-            mlp_channels=[hd, hd, hd], normalize_xyz=True,
+            mlp_channels=[hd, hd, hd], normalize_xyz=True, dtype=dt,
             name="vote_aggregation")(vote_xyz, vote_feat, train=train)
         end_points["aggregated_vote_xyz"] = cluster_xyz
         end_points["cluster_feature"] = cluster_feat
@@ -71,12 +73,13 @@ class PQTransformer(nn.Module):
         obj_head_kw = dict(hidden_dim=hd, num_heading_bin=cfg.num_heading_bin,
                            num_size_cluster=cfg.num_size_cluster,
                            num_class=cfg.num_class,
-                           mean_size_arr=SCANNET_MEAN_SIZES)
+                           mean_size_arr=SCANNET_MEAN_SIZES, dtype=dt)
         center, _, ep = PredictHead(**obj_head_kw, name="proposal_head")(
             cluster_feat, cluster_xyz, "proposal_", train=train)
         end_points.update(ep)
         center_q, _, ep = QuadPredictHead(
             hidden_dim=hd, per_vector_norm=cfg.quad_normal_per_vector_norm,
+            dtype=dt,
             name="quad_proposal_head")(quad_feat, quad_xyz, "proposal_", train=train)
         end_points.update(ep)
 
@@ -96,6 +99,7 @@ class PQTransformer(nn.Module):
             query_joint = TransformerDecoderLayer(
                 d_model=hd, nhead=cfg.nhead,
                 dim_feedforward=cfg.dim_feedforward, dropout=cfg.dropout,
+                dtype=dt,
                 name=f"decoder_layer{i}")(
                 query_joint, key, query_pos_joint, key_pos, train=train)
             q_obj = query_joint[:, :cfg.num_proposal]
@@ -106,6 +110,7 @@ class PQTransformer(nn.Module):
             end_points.update(ep)
             center_q, _, ep = QuadPredictHead(
                 hidden_dim=hd, per_vector_norm=cfg.quad_normal_per_vector_norm,
+                dtype=dt,
                 name=f"quad_prediction_head{i}")(q_quad, quad_xyz, prefix, train=train)
             end_points.update(ep)
 

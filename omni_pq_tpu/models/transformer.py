@@ -20,20 +20,22 @@ class VotingModule(nn.Module):
     """VoteNet vote generation (voting_module.py). vote_factor=1, residual
     feature offsets."""
     seed_feature_dim: int = 288
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, seed_xyz, seed_features, train: bool = False):
         """seed_xyz (B,S,3), seed_features (B,S,C) -> vote_xyz, vote_features."""
         d = self.seed_feature_dim
-        net = nn.Dense(d, name="conv1")(seed_features)
+        net = nn.Dense(d, dtype=self.dtype, name="conv1")(seed_features)
         net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=BN_EPS, name="bn1")(net)
+                           epsilon=BN_EPS, dtype=jnp.float32, name="bn1")(net)
         net = nn.relu(net)
-        net = nn.Dense(d, name="conv2")(net)
+        net = nn.Dense(d, dtype=self.dtype, name="conv2")(net)
         net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=BN_EPS, name="bn2")(net)
+                           epsilon=BN_EPS, dtype=jnp.float32, name="bn2")(net)
         net = nn.relu(net)
-        net = nn.Dense(3 + d, name="conv3")(net)
+        net = nn.Dense(3 + d, dtype=self.dtype, name="conv3")(net)
+        net = net.astype(jnp.float32)
         vote_xyz = seed_xyz + net[..., 0:3]
         vote_features = seed_features + net[..., 3:]
         return vote_xyz, vote_features
@@ -43,19 +45,20 @@ class PointsObjClsModule(nn.Module):
     """Per-seed objectness logits (models/utils/pointnet_util.py:330-356);
     part of the reference module surface (used by its kps sampling variant)."""
     seed_feature_dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, seed_features, train: bool = False):
         """(B, S, C) -> (B, S, 1) logits."""
         d = self.seed_feature_dim
-        net = nn.Dense(d, name="conv1")(seed_features)
+        net = nn.Dense(d, dtype=self.dtype, name="conv1")(seed_features)
         net = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                   name="bn1")(net))
-        net = nn.Dense(d, name="conv2")(net)
+                                   dtype=jnp.float32, name="bn1")(net))
+        net = nn.Dense(d, dtype=self.dtype, name="conv2")(net)
         net = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                   name="bn2")(net))
+                                   dtype=jnp.float32, name="bn2")(net))
         return nn.Dense(1, name="conv3")(net)
 
 
@@ -84,23 +87,27 @@ class PositionEmbeddingLearned(nn.Module):
 class MultiHeadAttention(nn.Module):
     """Standard MHA with packed qkv projections and attention-weight dropout,
     matching torch.nn.MultiheadAttention semantics (the reference's fork
-    behaves identically for attention_type='')."""
+    behaves identically for attention_type=''). Softmax runs in float32 even
+    under bf16 compute."""
     d_model: int
     nhead: int
     dropout: float = 0.1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, q, k, v, train: bool = False):
         """q (B,Lq,D), k/v (B,Lk,D) -> (B,Lq,D)."""
         D, H = self.d_model, self.nhead
         hd = D // H
-        qp = nn.Dense(D, name="q_proj")(q).reshape(*q.shape[:2], H, hd)
-        kp = nn.Dense(D, name="k_proj")(k).reshape(*k.shape[:2], H, hd)
-        vp = nn.Dense(D, name="v_proj")(v).reshape(*v.shape[:2], H, hd)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp) / jnp.sqrt(hd).astype(q.dtype)
-        weights = nn.softmax(logits, axis=-1)
+        qp = nn.Dense(D, dtype=self.dtype, name="q_proj")(q).reshape(*q.shape[:2], H, hd)
+        kp = nn.Dense(D, dtype=self.dtype, name="k_proj")(k).reshape(*k.shape[:2], H, hd)
+        vp = nn.Dense(D, dtype=self.dtype, name="v_proj")(v).reshape(*v.shape[:2], H, hd)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(hd)
+        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
         weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
-        out = jnp.einsum("bhqk,bkhd->bqhd", weights, vp)
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vp.dtype), vp)
+        out = out.astype(jnp.float32)
         return nn.Dense(D, name="out_proj")(out.reshape(*q.shape[:2], D))
 
 
@@ -111,6 +118,7 @@ class TransformerDecoderLayer(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, query, key, query_pos, key_pos, train: bool = False):
@@ -124,17 +132,21 @@ class TransformerDecoderLayer(nn.Module):
 
         qkv = query + q_embed
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                  dtype=self.dtype,
                                   name="self_attn")(qkv, qkv, qkv, train=train)
         query = nn.LayerNorm(name="norm1")(query + drop("dropout1")(attn))
 
         kv = key + k_embed
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
+                                  dtype=self.dtype,
                                   name="multihead_attn")(
             query + q_embed, kv, kv, train=train)
         query = nn.LayerNorm(name="norm2")(query + drop("dropout2")(attn))
 
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(query)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
+                      name="linear1")(query)
         ff = drop("dropout")(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
+        ff = ff.astype(jnp.float32)
         query = nn.LayerNorm(name="norm3")(query + drop("dropout3")(ff))
         return query

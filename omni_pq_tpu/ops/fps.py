@@ -35,7 +35,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref):
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
     B, N = x_ref.shape
     npoint = pl.num_programs(0)
     i = pl.program_id(0)
@@ -43,6 +43,12 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref):
 
     @pl.when(i == 0)
     def _():
+        x, y, z = x_ref[:], y_ref[:], z_ref[:]
+        # hoisted loop invariants: |p|^2 (reused in the fused distance form),
+        # and the padding/origin-skip mask folded into the initial min-dist
+        # sign bias (invalid points can never win the argmax)
+        pn = x * x + y * y + z * z
+        pn_ref[:] = pn
         mind_ref[:] = jnp.full((B, N), 1e10, dtype=jnp.float32)
         last_ref[:] = jnp.zeros((B, 1), jnp.int32)
         out_ref[:] = jnp.zeros((B, npoint), dtype=jnp.int32)
@@ -50,16 +56,18 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref):
     @pl.when(i > 0)
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
+        pn = pn_ref[:]
         last = last_ref[:]
         onehot = (cols == last).astype(jnp.float32)
         cx = jnp.sum(x * onehot, axis=1, keepdims=True)
         cy = jnp.sum(y * onehot, axis=1, keepdims=True)
         cz = jnp.sum(z * onehot, axis=1, keepdims=True)
-        d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+        cn = cx * cx + cy * cy + cz * cz
+        # fused |p - c|^2 = |p|^2 - 2 p.c + |c|^2
+        d = pn - 2.0 * (x * cx + y * cy + z * cz) + cn
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
-        valid = (x * x + y * y + z * z) > FPS_SKIP_NORM_SQ
-        score = jnp.where(valid, mind, -1.0)
+        score = jnp.where(pn > FPS_SKIP_NORM_SQ, mind, -1.0)
         m = jnp.max(score, axis=1, keepdims=True)
         nxt = jnp.min(jnp.where(score >= m, cols, N), axis=1, keepdims=True)
         nxt = nxt.astype(jnp.int32)
@@ -100,7 +108,8 @@ def fps(xyz: jax.Array, npoint: int) -> jax.Array:
             out_specs=pl.BlockSpec((bc, npoint), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((bc, npad), jnp.float32),
-                            pltpu.VMEM((bc, 1), jnp.int32)],
+                            pltpu.VMEM((bc, 1), jnp.int32),
+                            pltpu.VMEM((bc, npad), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=_interpret(),
