@@ -174,3 +174,24 @@ class TestSynthetic:
         centers = s["center_label"][:int(s["num_gt_boxes"])]
         d = np.linalg.norm(voted[:, None] - centers[None], axis=-1).min(1)
         assert d.max() < 1e-5
+
+
+class TestGradAccumulation:
+    def test_step_freq_accumulates(self, setup):
+        model, variables, labeled, weak = setup
+        flags = TrainFlags(ema=False, gamma_mixture=False, pc_loss=False)
+        state = create_train_state(
+            variables, OptimizerConfig(total_steps=100, step_freq=2),
+            ema=False)
+        step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        state, _ = step(state, labeled, labeled, jax.random.PRNGKey(0),
+                        jnp.float32(0.0))
+        p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        # first micro-step: gradients accumulated, params unchanged
+        np.testing.assert_array_equal(p0, p1)
+        state, _ = step(state, labeled, labeled, jax.random.PRNGKey(1),
+                        jnp.float32(0.0))
+        p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        # second micro-step applies the update
+        assert not np.allclose(p1, p2)
