@@ -55,19 +55,24 @@ def get_datasets(args):
         start_proportion=args.start_proportion,
         end_proportion=args.end_proportion, seed=args.rng_seed)
     if args.arkit:
+        # omni-supervised mode: weak ARKit boxes for training, the
+        # human-annotated ARKit valid split for evaluation (train.py:230-253)
         weak = ARKitSceneDataset(args.arkit_data_root, "train",
                                  num_points=args.num_point,
                                  seed=args.rng_seed + 1)
+        val = ARKitSceneDataset(args.arkit_data_root, "valid",
+                                num_points=args.num_point,
+                                seed=args.rng_seed + 2)
     else:
         weak = ScannetDetectionDataset(
             args.data_root, "train", num_points=args.num_point,
             use_color=args.use_color, use_height=args.use_height,
             augment=False, start_proportion=0.0, end_proportion=1.0,
             seed=args.rng_seed + 1)
-    val = ScannetDetectionDataset(
-        args.data_root, "val", num_points=args.num_point,
-        use_color=args.use_color, use_height=args.use_height, augment=False,
-        seed=args.rng_seed + 2)
+        val = ScannetDetectionDataset(
+            args.data_root, "val", num_points=args.num_point,
+            use_color=args.use_color, use_height=args.use_height,
+            augment=False, seed=args.rng_seed + 2)
     return labeled, weak, val
 
 
@@ -104,11 +109,19 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
         gt_cls, gt_corners = parse_quad_groundtruths(merged, config_dict)
         quad_calc.step(pred_cls, gt_cls, pred_corners, gt_corners,
                        list(batch["horizontal_quads"]))
-        if not args.faster_eval:
+        # ARKit valid batches carry quad GT only (arkitscenes_dataset.py
+        # valid split) — object mAP needs the full ScanNet label set
+        if not args.faster_eval and "box_label_mask" in batch:
             obj_pred, _ = parse_predictions(merged, config_dict, "last_")
             obj_gt = parse_groundtruths(merged, config_dict)
             for calc in obj_calcs.values():
                 calc.step(obj_pred, obj_gt)
+
+        if args.dump_result and bi == 0:
+            from ..utils.viz import dump_quad_results, dump_object_results
+            dump_dir = os.path.join(args.log_dir, "dump")
+            dump_quad_results(ep, dump_dir)
+            dump_object_results(ep, dataset_config, dump_dir)
 
     f1 = quad_calc.compute_F1(calculated=True)
     tag = "ema" if use_ema else "student"
@@ -127,7 +140,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from ..config import ModelConfig, DatasetConfig, SCANNET_MEAN_SIZES
-    from ..data import Loader, endless
+    from ..data import Loader, PrefetchLoader, endless
     from ..models import PQTransformer
     from ..parallel import make_mesh, shard_batch, replicate
     from ..train import (TrainFlags, OptimizerConfig, create_train_state,
@@ -154,10 +167,14 @@ def main(argv=None):
         logger.info(f"batch size padded {args.batch_size} -> {local_bs} for "
                     f"{n_dev} devices")
 
-    train_loader = Loader(labeled_ds, local_bs, seed=args.rng_seed,
-                          shard_id=jax.process_index(),
-                          num_shards=jax.process_count())
-    weak_iter = endless(Loader(weak_ds, local_bs, seed=args.rng_seed + 1))
+    train_loader = PrefetchLoader(
+        Loader(labeled_ds, local_bs, seed=args.rng_seed,
+               shard_id=jax.process_index(),
+               num_shards=jax.process_count()),
+        num_workers=args.num_workers)
+    weak_iter = endless(PrefetchLoader(
+        Loader(weak_ds, local_bs, seed=args.rng_seed + 1),
+        num_workers=args.num_workers))
     val_loader = Loader(val_ds, min(16, len(val_ds)), shuffle=False,
                         drop_last=False)
 

@@ -27,3 +27,27 @@ def test_train_then_eval(tmp_path):
                         "--checkpoint_path",
                         os.path.join(log_dir, "ckpt_epoch_last")])
     assert np.isfinite(f1)
+
+
+def test_infer_cli(tmp_path):
+    # train a tiny model for 1 epoch, then run inference on a raw cloud
+    log_dir = str(tmp_path / "run")
+    train_cli.main(["--smoke", "--synthetic_data", "--num_point", "512",
+                    "--batch_size", "2", "--max_epoch", "1",
+                    "--end_proportion", "1.0", "--val_freq", "99",
+                    "--save_freq", "99", "--print_freq", "99",
+                    "--log_dir", log_dir, "--faster_eval"])
+    from omni_pq_tpu.cli import infer as infer_cli
+    from omni_pq_tpu.data.synthetic import make_scene
+    scene = make_scene(np.random.default_rng(0), 2000)
+    np.save(tmp_path / "scene.npy", scene["point_clouds"])
+    out = str(tmp_path / "det.json")
+    quads, objects = infer_cli.main([
+        "--checkpoint_path", os.path.join(log_dir, "ckpt_epoch_last"),
+        "--input", str(tmp_path / "scene.npy"), "--output", out,
+        "--num_point", "512", "--smoke", "--quad_conf", "0.0",
+        "--obj_conf", "0.0", "--dump_ply", str(tmp_path / "ply")])
+    import json
+    d = json.load(open(out))
+    assert "quads" in d and "objects" in d
+    assert os.path.exists(tmp_path / "ply" / "input.ply")

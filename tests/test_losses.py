@@ -253,3 +253,42 @@ class TestArkit:
         }
         loss, col = losses.get_arkit_pc_loss(ep, weak)
         assert np.isfinite(float(loss)) and float(loss) >= 0
+
+
+class TestGammaReferencePar:
+    def test_em_vs_reference_scipy_fit(self):
+        """Compare the on-device EM against the reference's own FitRunner on
+        identical synthetic data (guarded: needs /root/reference mounted)."""
+        import sys
+        sys.path.insert(0, "/root/reference")
+        try:
+            from fit import FitRunner, GammaDistribution
+        except Exception:
+            pytest.skip("reference fit.py not importable")
+        finally:
+            sys.path.pop(0)
+        rng = np.random.default_rng(0)
+        n = 20000
+        pick = rng.uniform(size=n) < 0.4
+        x = np.where(pick, rng.gamma(2.0, 1 / 10.0, n),
+                     rng.gamma(8.0, 1 / 2.0, n))
+        runner = FitRunner([(GammaDistribution, (0.5, 1.0)),
+                            (GammaDistribution, (5.0, 5.0))], x)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            old = np.seterr(all="ignore")
+            runner.fit(step=25, quiet=True, opt=False)
+            np.seterr(**old)
+        a1, b1, a2, b2, w = losses.gamma_mixture_em(
+            jnp.asarray(x, jnp.float32), 0.5, 1.0, 5.0, 5.0, 0.5, 25)
+        # both must separate the two modes; component means within 20% of
+        # each other (the scipy path's wrong jacobian makes exact trajectories
+        # diverge — see losses/gamma.py)
+        ref_means = sorted([runner.dist_a.params[0] / runner.dist_a.params[1],
+                            runner.dist_b.params[0] / runner.dist_b.params[1]])
+        our_means = sorted([float(a1 / b1), float(a2 / b2)])
+        np.testing.assert_allclose(our_means, ref_means, rtol=0.2)
+        # component order may be swapped between the two fits
+        rw = float(runner.weight)
+        assert min(abs(float(w) - rw), abs(float(w) - (1 - rw))) < 0.1
