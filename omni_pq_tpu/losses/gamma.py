@@ -125,14 +125,17 @@ def masked_quantile(values, mask, q):
     # large-but-safe pad: must survive downstream arithmetic in f32 without
     # overflowing to inf (inf leaks NaN into gradients through jnp.where)
     big = jnp.float32(1e9)
-    v = jnp.where(mask, values, big)
-    v = jnp.sort(v)
+    v = jnp.sort(jnp.where(mask, values, big))
     n = jnp.sum(mask.astype(jnp.int32))
+    return _quantile_of_sorted(v, n, q)
+
+
+def _quantile_of_sorted(v_sorted, n, q):
     pos = q * jnp.maximum(n - 1, 0).astype(jnp.float32)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     frac = pos - lo.astype(jnp.float32)
-    return v[lo] * (1.0 - frac) + v[hi] * frac
+    return v_sorted[lo] * (1.0 - frac) + v_sorted[hi] * frac
 
 
 def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
@@ -200,9 +203,11 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     kept_mean = jnp.sum(pc_ds * keepf[:, None], axis=0) / cntf
     offset2 = pc_ds - kept_mean
     x_dis2 = jnp.abs(offset2 @ x_dir)
+    # one sort shared by the three quantile thresholds
+    x_sorted = jnp.sort(jnp.where(keep, x_dis2, jnp.float32(1e9)))
     pseudo_x = 0.0
     for t in (0.85, 0.925, 1.0):
-        pseudo_x = pseudo_x + masked_quantile(x_dis2, keep, t) / t
+        pseudo_x = pseudo_x + _quantile_of_sorted(x_sorted, cnt, t) / t
     pseudo_x = pseudo_x / 3.0
     metric_size = jnp.sum(smoothl1_loss(size[0] - 2.0 * pseudo_x))
     metric_size = metric_size + jnp.sum(smoothl1_loss(kept_mean - center))
