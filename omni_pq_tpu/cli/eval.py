@@ -24,7 +24,7 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
-    from ..config import ModelConfig, DatasetConfig
+    from ..config import DatasetConfig
     from ..data import Loader
     from ..models import PQTransformer
     from ..train import (OptimizerConfig, create_train_state, load_checkpoint)

@@ -9,7 +9,7 @@ stack-collation into fixed-shape numpy dicts.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import numpy as np
 

@@ -19,7 +19,7 @@ reference's training entry point constructs this dataset with augment=False
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict
 
 import numpy as np
 

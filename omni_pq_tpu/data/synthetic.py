@@ -13,7 +13,7 @@ from typing import Dict
 
 import numpy as np
 
-from ..config import DatasetConfig, SCANNET_MEAN_SIZES
+from ..config import SCANNET_MEAN_SIZES
 from .spatial import spatial_sort
 
 MAX_NUM_OBJ = 64

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.nn_distance import smoothl1_loss, huber_loss  # re-export
+from ..ops.nn_distance import smoothl1_loss, huber_loss  # noqa: F401 (re-export)
 
 
 def sigmoid_focal_loss(prediction, target, weights, gamma: float = 2.0,

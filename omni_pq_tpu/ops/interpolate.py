@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .reference import three_nn_ref
 
 @jax.jit
 def three_nn(unknown, known):

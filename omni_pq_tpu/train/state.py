@@ -10,7 +10,7 @@ accumulation (train.py:493-494,562).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

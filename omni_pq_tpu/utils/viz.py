@@ -13,7 +13,7 @@ from typing import Dict, Sequence
 import numpy as np
 
 from ..evals.box_ops import get_3d_box, flip_axis_to_depth
-from ..evals.quad import get_verts, heading_from_normal, softmax
+from ..evals.quad import heading_from_normal, softmax
 
 DUMP_CONF_THRESH = 0.995
 
