@@ -232,14 +232,16 @@ def main(argv=None):
             wk = shard_batch({k: jnp.asarray(v) for k, v in weak.items()}, mesh)
             step_rng, k = jax.random.split(step_rng)
             state, stats = train_step(state, lb, wk, k, jnp.float32(cw))
+            # keep stats on device; a host fetch per step would add a full
+            # dispatch+sync round trip to every iteration
             for key in ("total_loss", "loss", "vote_loss", "objectness_loss",
                         "box_loss", "quad_loss_sum", "consistency_loss",
                         "gamma_mixture_filter_loss", "grad_norm"):
                 if key in stats:
-                    stat_acc[key] = stat_acc.get(key, 0.0) + float(stats[key])
+                    stat_acc[key] = stat_acc.get(key, 0.0) + stats[key]
             n_acc += 1
             if (batch_idx + 1) % args.print_freq == 0:
-                msg = " ".join(f"{k} {v / n_acc:.4f}"
+                msg = " ".join(f"{k} {float(v) / n_acc:.4f}"
                                for k, v in sorted(stat_acc.items()))
                 logger.info(f"Train: [{epoch}][{batch_idx + 1}/"
                             f"{len(train_loader)}] {msg}")
