@@ -241,3 +241,19 @@ class TestObjectParse:
         calc.step(pred, gt)
         m = calc.compute_metrics()
         np.testing.assert_allclose(m["mAP"], 1.0, atol=1e-6)
+
+
+class TestMetricUtil:
+    def test_precision_recall(self):
+        from omni_pq_tpu.evals.metric_util import (
+            calc_iou, multi_scene_precision_recall)
+        assert calc_iou([0, 0, 0, 1, 1, 1], [0, 0, 0, 1, 1, 1]) == 1.0
+        assert calc_iou([0, 0, 0, 1, 1, 1], [5, 0, 0, 1, 1, 1]) == 0.0
+        labels = np.array([[[0, 0, 0, 1, 1, 1], [3, 0, 0, 1, 1, 1]]])
+        pred = np.array([[[0, 0, 0, 1, 1, 1, 0.9],     # TP
+                          [9, 9, 9, 1, 1, 1, 0.8],     # FP
+                          [3, 0, 0, 1, 1, 1, 0.1]]])   # below conf
+        TP, FP, FN, (p, r) = multi_scene_precision_recall(
+            labels, pred, iou_thresh=0.5, conf_thresh=0.5)
+        assert (TP, FP, FN) == (1, 1, 1)
+        assert p == 0.5 and r == 0.5
