@@ -77,7 +77,26 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--ap_iou_thresholds', type=float, default=[0.25],
                         nargs='+')
     parser.add_argument('--rng_seed', type=int, default=0)
+    # multi-host data parallelism (the reference's torch.distributed.launch
+    # surface, train.py:771-799; here jax.distributed over ICI/DCN)
+    parser.add_argument('--multihost', action='store_true',
+                        help='call jax.distributed.initialize before device '
+                             'access (multi-process / multi-host training)')
+    parser.add_argument('--coordinator_address', default=None,
+                        help='host:port of process 0 (default: cluster env)')
+    parser.add_argument('--num_processes', type=int, default=None)
+    parser.add_argument('--process_id', type=int, default=None)
+    parser.add_argument('--profile', type=int, default=0, metavar='N',
+                        help='trace N train steps (after compile) with '
+                             'jax.profiler into <log_dir>/profile')
     parser.add_argument('--pc_loss', action='store_true')
+    # extension flags (not in the reference): GT-assignment radii
+    parser.add_argument('--near_threshold', type=float, default=0.3,
+                        help='GT assignment NEAR radius in meters '
+                             '(reference fixed 0.3, loss_helper_pq.py:17)')
+    parser.add_argument('--far_threshold', type=float, default=0.6,
+                        help='GT assignment FAR radius in meters '
+                             '(reference fixed 0.6, loss_helper_pq.py:18)')
     parser.add_argument('--dump_result', action='store_true')
     # Eval
     parser.add_argument('--nms_iou_quad', type=float, default=0.25)
@@ -91,7 +110,28 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
 
 
 def parse_option(argv=None, is_eval: bool = False):
-    args = build_parser(is_eval).parse_args(argv)
+    parser = build_parser(is_eval)
+    args = parser.parse_args(argv)
+    # Flags kept for reference CLI parity but with only the reference's
+    # default behavior implemented: error on unsupported values instead of
+    # silently ignoring them. (--syncbn needs no plumbing: the whole global
+    # batch normalizes under one jitted step, which IS sync-BN semantics.)
+    if args.sampling != 'vote':
+        parser.error(f"--sampling {args.sampling}: only 'vote' is "
+                     "implemented (the reference default)")
+    if args.transformer_activation != 'relu':
+        parser.error(f"--transformer_activation {args.transformer_activation}:"
+                     " only 'relu' is implemented (the reference default)")
+    if args.lr_scheduler != 'cosine':
+        parser.error(f"--lr-scheduler {args.lr_scheduler}: only 'cosine' is "
+                     "implemented (the reference's training regime)")
+    if args.optimizer.lower() != 'adamw':
+        parser.error(f"--optimizer {args.optimizer}: only adamW is "
+                     "implemented (the reference default)")
+    if args.bn_momentum != 0.1:
+        parser.error("--bn_momentum: fixed at the reference default 0.1 "
+                     "(flax momentum 0.9); plumbing a non-default value is "
+                     "not implemented")
     if not is_eval:
         args.print_freq = int(args.print_freq / args.end_proportion)
         args.save_freq = int(args.save_freq / args.end_proportion)

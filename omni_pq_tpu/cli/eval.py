@@ -47,12 +47,16 @@ def main(argv=None):
     state = create_train_state(variables, OptimizerConfig(total_steps=1))
     use_ema = False
     if args.checkpoint_path:
-        state, _ = load_checkpoint(args.checkpoint_path, state)
-        use_ema = args.checkpoint_path.rstrip("/").endswith("ema_best")
+        state, _, tag = load_checkpoint(args.checkpoint_path, state)
+        use_ema = tag == "ema_best"
         logger.info(f"loaded {args.checkpoint_path} (ema={use_ema})")
 
     f1 = evaluate(args, model, state, val_loader, DatasetConfig(), logger,
                   use_ema=use_ema)
+    from ..utils.metrics import MetricsLogger
+    metrics = MetricsLogger(args.log_dir)
+    metrics.log(0, {"quad_f1": f1, "ema": float(use_ema)}, prefix="eval")
+    metrics.close()
     print(f"F1: {f1:.4f}")
     return f1
 

@@ -69,8 +69,8 @@ def main(argv=None):
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc)
     state = create_train_state(variables, OptimizerConfig(total_steps=1))
-    state, _ = load_checkpoint(args.checkpoint_path, state)
-    use_ema = args.checkpoint_path.rstrip("/").endswith("ema_best")
+    state, _, tag = load_checkpoint(args.checkpoint_path, state)
+    use_ema = tag == "ema_best"
     ep = make_eval_step(model)(state, pc, use_ema=use_ema)
     ep = {k: np.asarray(v) for k, v in ep.items()}
 

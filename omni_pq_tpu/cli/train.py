@@ -77,9 +77,17 @@ def get_datasets(args):
 
 
 def evaluate(args, model, state, val_loader, dataset_config, logger,
-             use_ema=False, max_batches=None):
-    """evaluate_one_epoch (train.py:609-768): quad F1 + object mAP."""
+             use_ema=False, max_batches=None, mesh=None):
+    """evaluate_one_epoch (train.py:609-768): quad F1 + object mAP.
+
+    With `mesh` set (multi-process runs), each process forwards its shard of
+    the val split as one global sharded computation, outputs are allgathered
+    to every host, and every process computes the full-set metrics — exact
+    single-host semantics (the reference's DistributedSampler eval computes
+    shard-local metrics per rank instead)."""
+    import jax
     import jax.numpy as jnp
+    from ..parallel import make_global_batch, gather_scenes
     from ..train import make_eval_step
     from ..evals import (parse_quad_predictions, parse_quad_groundtruths,
                          parse_predictions, parse_groundtruths,
@@ -96,12 +104,31 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
     obj_calcs = {t: APCalculator(ap_iou_thresh=t)
                  for t in args.ap_iou_thresholds}
 
+    multiproc = mesh is not None and len(mesh.devices.flat) > 1
     for bi, batch in enumerate(val_loader):
         if max_batches is not None and bi >= max_batches:
             break
-        ep = eval_step(state, jnp.asarray(batch["point_clouds"]),
-                       use_ema=use_ema)
-        ep = {k: np.asarray(v) for k, v in ep.items()}
+        if multiproc:
+            import jax as _jax
+            pc = np.asarray(batch["point_clouds"])
+            true_b, n_local = pc.shape[0], _jax.local_device_count()
+            padded_b = -(-true_b // n_local) * n_local
+            if padded_b != true_b:
+                pc = np.concatenate([pc, pc[: padded_b - true_b]], axis=0)
+            ep = eval_step(state, make_global_batch({"pc": pc}, mesh)["pc"],
+                           use_ema=use_ema)
+            ep = gather_scenes(ep)
+            if padded_b != true_b:  # drop per-process padding rows
+                def _trim(a):
+                    p = a.shape[0] // padded_b
+                    return a.reshape((p, padded_b) + a.shape[1:])[:, :true_b] \
+                            .reshape((p * true_b,) + a.shape[1:])
+                ep = {k: _trim(v) for k, v in ep.items()}
+            batch = gather_scenes(batch)
+        else:
+            ep = eval_step(state, jnp.asarray(batch["point_clouds"]),
+                           use_ema=use_ema)
+            ep = {k: np.asarray(v) for k, v in ep.items()}
         merged = dict(ep)
         merged.update(batch)
         pred_cls, _, pred_corners = parse_quad_predictions(
@@ -138,21 +165,29 @@ def main(argv=None):
     args = parse_option(argv)
 
     import jax
+    if args.multihost:
+        # before any device access (reference: init_process_group at
+        # train.py:775-776 before model.cuda())
+        from ..parallel import init_distributed
+        init_distributed(args.coordinator_address, args.num_processes,
+                         args.process_id)
     import jax.numpy as jnp
     from ..config import ModelConfig, DatasetConfig, SCANNET_MEAN_SIZES
     from ..data import Loader, PrefetchLoader, endless
     from ..models import PQTransformer
-    from ..parallel import make_mesh, shard_batch, replicate
+    from ..parallel import make_mesh, make_global_batch, replicate
     from ..train import (TrainFlags, OptimizerConfig, create_train_state,
                          make_train_step, consistency_weight,
                          save_checkpoint, load_checkpoint)
     from ..utils.logger import setup_logger
+    from ..utils.metrics import MetricsLogger
 
     os.makedirs(args.log_dir, exist_ok=True)
     logger = setup_logger(args.log_dir, distributed_rank=jax.process_index())
     logger.info(" ".join(sys.argv))
     with open(os.path.join(args.log_dir, "config.json"), "w") as f:
         json.dump(vars(args), f, indent=2)
+    metrics = MetricsLogger(args.log_dir) if jax.process_index() == 0 else None
 
     labeled_ds, weak_ds, val_ds = get_datasets(args)
     logger.info(f"datasets: labeled {len(labeled_ds)} weak {len(weak_ds)} "
@@ -160,12 +195,15 @@ def main(argv=None):
 
     mesh = make_mesh()
     n_dev = mesh.devices.size
+    # --batch_size is the PER-PROCESS batch (like the reference's per-GPU
+    # bs); pad it up to a multiple of the local device count so the global
+    # batch tiles the data axis evenly
+    n_local = jax.local_device_count()
     local_bs = args.batch_size
-    # pad the per-step batch up to a multiple of the device count
-    if local_bs % n_dev != 0 and n_dev > 1:
-        local_bs = -(-local_bs // n_dev) * n_dev
+    if local_bs % n_local != 0 and n_local > 1:
+        local_bs = -(-local_bs // n_local) * n_local
         logger.info(f"batch size padded {args.batch_size} -> {local_bs} for "
-                    f"{n_dev} devices")
+                    f"{n_local} local devices")
 
     train_loader = PrefetchLoader(
         Loader(labeled_ds, local_bs, seed=args.rng_seed,
@@ -176,7 +214,8 @@ def main(argv=None):
         Loader(weak_ds, local_bs, seed=args.rng_seed + 1),
         num_workers=args.num_workers))
     val_loader = Loader(val_ds, min(16, len(val_ds)), shuffle=False,
-                        drop_last=False)
+                        drop_last=False, shard_id=jax.process_index(),
+                        num_shards=jax.process_count())
 
     cfg = make_model_config(args)
     dataset_config = DatasetConfig()
@@ -202,7 +241,7 @@ def main(argv=None):
     state = create_train_state(variables, opt_cfg, ema=True)
     start_epoch = args.start_epoch
     if args.checkpoint_path:
-        state, ckpt_epoch = load_checkpoint(args.checkpoint_path, state)
+        state, ckpt_epoch, _ = load_checkpoint(args.checkpoint_path, state)
         start_epoch = ckpt_epoch + 1
         logger.info(f"resumed from {args.checkpoint_path} at epoch {ckpt_epoch}")
     state = replicate(state, mesh)
@@ -215,11 +254,16 @@ def main(argv=None):
         lambda_metric_vertical=args.lambda_metric_vertical,
         lambda_metric_size=args.lambda_metric_size,
         lambda_metric_score=args.lambda_metric_score,
-        lambda_arkit_pc_loss=args.lambda_arkit_pc_loss)
+        lambda_arkit_pc_loss=args.lambda_arkit_pc_loss,
+        near_threshold=args.near_threshold, far_threshold=args.far_threshold)
     train_step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
 
     f1, ema_f1, max_f1, max_ema_f1 = 0.0, 0.2, 0.0, 0.2
     step_rng = jax.random.PRNGKey(args.rng_seed + 123)
+    profile_dir = os.path.join(args.log_dir, "profile")
+    prof_start = 2 if args.profile else -1  # step 1 includes compile
+    prof_stop = prof_start + args.profile
+    global_step = 0
     for epoch in range(start_epoch, args.max_epoch + 1):
         train_loader.set_epoch(epoch)
         tic = time.time()
@@ -228,14 +272,23 @@ def main(argv=None):
                                 args.consistency_rampup)
         for batch_idx, batch in enumerate(train_loader):
             weak = next(weak_iter)
-            lb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, mesh)
-            wk = shard_batch({k: jnp.asarray(v) for k, v in weak.items()}, mesh)
+            lb = make_global_batch(batch, mesh)
+            wk = make_global_batch(weak, mesh)
             step_rng, k = jax.random.split(step_rng)
+            global_step += 1
+            if global_step == prof_start:
+                jax.profiler.start_trace(profile_dir)
             state, stats = train_step(state, lb, wk, k, jnp.float32(cw))
+            if args.profile and global_step == prof_stop:
+                np.asarray(stats["total_loss"])  # drain the dispatch queue
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace ({args.profile} steps) written "
+                            f"to {profile_dir}")
             # keep stats on device; a host fetch per step would add a full
             # dispatch+sync round trip to every iteration
             for key in ("total_loss", "loss", "vote_loss", "objectness_loss",
                         "box_loss", "quad_loss_sum", "consistency_loss",
+                        "weighted_consistency_loss",
                         "gamma_mixture_filter_loss", "grad_norm"):
                 if key in stats:
                     stat_acc[key] = stat_acc.get(key, 0.0) + stats[key]
@@ -245,14 +298,23 @@ def main(argv=None):
                                for k, v in sorted(stat_acc.items()))
                 logger.info(f"Train: [{epoch}][{batch_idx + 1}/"
                             f"{len(train_loader)}] {msg}")
+                if metrics is not None:
+                    metrics.log(global_step,
+                                {k: float(v) / n_acc
+                                 for k, v in stat_acc.items()},
+                                prefix="train")
                 stat_acc, n_acc = {}, 0
         logger.info(f"epoch {epoch}, total time {time.time() - tic:.2f}s")
 
         if epoch % args.val_freq == 1 or args.val_freq == 1:
+            eval_mesh = mesh if jax.process_count() > 1 else None
             f1 = evaluate(args, model, state, val_loader, dataset_config,
-                          logger, use_ema=False)
+                          logger, use_ema=False, mesh=eval_mesh)
             ema_f1 = evaluate(args, model, state, val_loader, dataset_config,
-                              logger, use_ema=True)
+                              logger, use_ema=True, mesh=eval_mesh)
+            if metrics is not None:
+                metrics.log(global_step, {"quad_f1": f1, "ema_quad_f1": ema_f1,
+                                          "epoch": epoch}, prefix="eval")
             if jax.process_index() == 0:
                 if f1 > max_f1:
                     save_checkpoint(args.log_dir, "best", state, epoch)
@@ -265,6 +327,8 @@ def main(argv=None):
 
     if jax.process_index() == 0:
         save_checkpoint(args.log_dir, "last", state, args.max_epoch)
+    if metrics is not None:
+        metrics.close()
     logger.info(f"done; best F1 {max_f1:.4f} ema {max_ema_f1:.4f}")
     return max_f1, max_ema_f1
 

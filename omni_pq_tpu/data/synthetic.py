@@ -23,11 +23,18 @@ GT_VOTE_FACTOR = 3
 
 
 def make_scene(rng: np.random.Generator, num_points: int = 40000,
-               num_objects: int = 6, num_proposal: int = NUM_PROPOSAL) -> Dict[str, np.ndarray]:
-    """One synthetic scene with the full reference ret_dict key set."""
-    W = rng.uniform(3.0, 7.0)
-    D = rng.uniform(3.0, 7.0)
-    H = rng.uniform(2.2, 3.0)
+               num_objects: int = 6, num_proposal: int = NUM_PROPOSAL,
+               w_range=(3.0, 7.0), d_range=(3.0, 7.0),
+               h_range=(2.2, 3.0)) -> Dict[str, np.ndarray]:
+    """One synthetic scene with the full reference ret_dict key set.
+
+    w/d/h_range control the room dimensions; defaults are ScanNet-like.
+    Smaller rooms raise the density of FPS queries near wall centers, which
+    is what the convergence tests use to guarantee positive assignments
+    under the 0.3 m NEAR radius (loss_helper_pq.py:17)."""
+    W = rng.uniform(*w_range)
+    D = rng.uniform(*d_range)
+    H = rng.uniform(*h_range)
     cx, cy = rng.uniform(1.0, 2.0, 2)  # keep room away from the origin
 
     # quads: 4 walls, normals pointing inward

@@ -150,16 +150,31 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     g = jax.random.gumbel(kq, conf_mask.shape)
     ind = jnp.argmax(jnp.where(conf_mask, g, -jnp.inf))
 
-    score = quad_scores[ind]
-    center = quad_center[ind]
-    normal = normal_vector[ind]
-    size = quad_size[ind] * jnp.array([1.0 / 1.5, 1.0])  # local width shrink
-
     K = 10000
     N = pc.shape[0]
     ds = jax.random.randint(kd, (K,), 0, N)
-    pc_ds = pc[ds]
-    pn_ds = pn[ds]
+
+    metric_normal, metric_vertical, metric_size, metric_score, enough = \
+        quad_point_mixture_metric(quad_scores[ind], quad_center[ind],
+                                  normal_vector[ind], quad_size[ind],
+                                  pc[ds], pn[ds], use_fitted)
+    valid = has_quad & enough
+    z = jnp.float32(0.0)
+    return (jnp.where(valid, metric_normal, z),
+            jnp.where(valid, metric_vertical, z),
+            jnp.where(valid, metric_size, z),
+            jnp.where(valid, metric_score, z))
+
+
+def quad_point_mixture_metric(score, center, normal, quad_size, pc_ds, pn_ds,
+                              use_fitted: bool = False):
+    """Deterministic metric core for ONE quad and a fixed point downsample
+    (gamma_mixture_loss_util.py:27-127). Returns (metric_normal,
+    metric_vertical, metric_size, metric_score, enough_points) — the caller
+    applies the reference's `< 300 kept points -> all zeros` policy via
+    `enough_points` (golden-tested against a numpy port of the reference's
+    per-scene code in tests/test_golden.py)."""
+    size = quad_size * jnp.array([1.0 / 1.5, 1.0])  # local width shrink
 
     n2 = normal[:2] / jax.lax.stop_gradient(
         jnp.linalg.norm(normal[:2]) + 1e-12)
@@ -186,7 +201,6 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     keep = mixture_keep_mask(jax.lax.stop_gradient(total), use_fitted)
     cnt = jnp.sum(keep.astype(jnp.int32))
     enough = cnt >= MIN_KEPT
-    valid = has_quad & enough
     keepf = keep.astype(jnp.float32)
     cntf = jnp.maximum(cnt.astype(jnp.float32), 1.0)
 
@@ -218,11 +232,7 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     ce_pos, ce_neg = -logp[1], -logp[0]
     metric_score = jnp.where(promote, ce_pos, jnp.where(demote, ce_neg, 0.0))
 
-    z = jnp.float32(0.0)
-    return (jnp.where(valid, metric_normal, z),
-            jnp.where(valid, metric_vertical, z),
-            jnp.where(valid, metric_size, z),
-            jnp.where(valid, metric_score, z))
+    return metric_normal, metric_vertical, metric_size, metric_score, enough
 
 
 def gamma_mixture_guide_criterion(ep: Dict, rng_key,

@@ -69,34 +69,39 @@ def compute_vote_loss(ep: Dict) -> jnp.ndarray:
         jnp.sum(seed_gt_votes_mask) + 1e-6)
 
 
-def _assign(agg_xyz, gt_center, num_gt) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _assign(agg_xyz, gt_center, num_gt, near=NEAR_THRESHOLD,
+            far=FAR_THRESHOLD) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Chamfer GT assignment with NEAR/FAR gating (loss_helper_pq.py:56-74).
+
+    near/far default to the reference's 0.3/0.6 m; overriding them is a
+    documented extension for small-scale regimes where the fixed radii
+    yield no positive assignments (see tests/test_convergence.py).
 
     Returns (label (B,K) int32, mask (B,K) f32, assignment (B,K) int32)."""
     K2 = gt_center.shape[1]
     dist1, ind1, _, _ = nn_distance(agg_xyz, gt_center)
     euclid = jnp.sqrt(dist1 + 1e-6)
-    label = (euclid < NEAR_THRESHOLD).astype(jnp.int32)
+    label = (euclid < near).astype(jnp.int32)
     label = jnp.where(ind1 >= num_gt[:, None], 0, label)
-    mask = ((euclid < NEAR_THRESHOLD) | (euclid > FAR_THRESHOLD)).astype(jnp.float32)
+    mask = ((euclid < near) | (euclid > far)).astype(jnp.float32)
     assignment = jnp.where(label == 0, K2 - 1, ind1)
     return label, mask, assignment.astype(jnp.int32)
 
 
 def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
-                                    stats: Dict) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                                    stats: Dict, near=NEAR_THRESHOLD,
+                                    far=FAR_THRESHOLD) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Objectness + box + sem-cls losses over all prefixes
     (loss_helper_pq.py:47-193). The assignment depends only on
     aggregated_vote_xyz so it is computed once and shared (the reference
     recomputes identical values per prefix)."""
     gt_center = ep["center_label"][:, :, 0:3]
     label, mask, assignment = _assign(ep["aggregated_vote_xyz"], gt_center,
-                                      ep["num_gt_boxes"])
+                                      ep["num_gt_boxes"], near, far)
     labelf = label.astype(jnp.float32)
     n_pos = jnp.sum(labelf) + 1e-6
     a3 = assignment[..., None].repeat(3, -1)
 
-    num_heading_bin = ep["heading_class_label"].shape[-1] if False else None
     objectness_sum = 0.0
     box_sum = 0.0
     sem_sum = 0.0
@@ -159,12 +164,13 @@ def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
     return objectness_sum, box_sum, sem_sum
 
 
-def compute_quad_losses(ep: Dict, num_layer: int, stats: Dict):
+def compute_quad_losses(ep: Dict, num_layer: int, stats: Dict,
+                        near=NEAR_THRESHOLD, far=FAR_THRESHOLD):
     """Quad score + geometry losses over all prefixes
     (loss_helper_pq.py:197-304)."""
     gt_center = ep["gt_quad_centers"][:, :, 0:3]
     label, mask, assignment = _assign(ep["aggregated_sample_xyz"], gt_center,
-                                      ep["num_gt_quads"])
+                                      ep["num_gt_quads"], near, far)
     labelf = label.astype(jnp.float32)
     n_pos = jnp.sum(labelf) + 1e-6
     a3 = assignment[..., None].repeat(3, -1)
@@ -267,7 +273,8 @@ def compute_physical_constraints_loss(ep: Dict, mean_size_arr):
 
 
 def get_loss(ep: Dict, mean_size_arr, num_layer: int = 6,
-             pc_loss: bool = True) -> Tuple[jnp.ndarray, Dict]:
+             pc_loss: bool = True, near=NEAR_THRESHOLD,
+             far=FAR_THRESHOLD) -> Tuple[jnp.ndarray, Dict]:
     """Total supervised loss (loss_helper_pq.py:412-486). `ep` is the merged
     end_points+labels dict; returns (scalar loss, stats dict)."""
     stats: Dict = {}
@@ -275,13 +282,13 @@ def get_loss(ep: Dict, mean_size_arr, num_layer: int = 6,
     stats["vote_loss"] = vote_loss
 
     objectness_sum, box_sum, sem_sum = compute_objectness_and_box_loss(
-        ep, mean_size_arr, num_layer, stats)
+        ep, mean_size_arr, num_layer, stats, near, far)
     stats["objectness_loss"] = objectness_sum
     stats["box_loss"] = box_sum
     stats["sem_cls_loss_sum"] = sem_sum
 
     score_sum, qcenter_sum, qvector_sum, qsize_sum = compute_quad_losses(
-        ep, num_layer, stats)
+        ep, num_layer, stats, near, far)
     stats["quad_score_loss_sum"] = score_sum
     quad_loss_sum = qcenter_sum + qvector_sum + qsize_sum
     stats["quad_center_loss_sum"] = qcenter_sum

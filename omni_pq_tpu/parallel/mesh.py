@@ -55,3 +55,40 @@ def per_host_batch_size(global_batch: int) -> int:
     n = jax.process_count()
     assert global_batch % n == 0
     return global_batch // n
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-controller bring-up — the reference's init_process_group
+    equivalent (train.py:775-776, backend='nccl' -> ICI/DCN here).
+
+    Must run before any JAX device access. With no arguments JAX reads the
+    cluster env (TPU pod metadata / JAX_COORDINATOR_ADDRESS etc.)."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_global_batch(batch: Any, mesh: Mesh) -> Any:
+    """Each process feeds its LOCAL slice of the global batch; leaves become
+    global jax.Arrays sharded on 'data' (the DistributedSampler + DDP input
+    path, train.py:260,283). Single-process: identical to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)
+
+
+def gather_scenes(tree: Any) -> Any:
+    """Fetch every leaf to host numpy as the FULL global batch: global
+    device arrays are allgathered across processes (DCN), per-host numpy
+    label arrays are concatenated on axis 0. Single-process: np.asarray."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(multihost_utils.process_allgather(x, tiled=True)),
+        tree)

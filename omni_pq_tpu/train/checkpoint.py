@@ -11,6 +11,13 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+# Checkpoint kind is stored explicitly in the payload (an int code, since
+# orbax pytree checkpoints hold arrays) instead of being sniffed from the
+# path suffix.
+_TAG_CODES = {"": 0, "best": 1, "ema_best": 2, "last": 3}
+_CODE_TAGS = {v: k for k, v in _TAG_CODES.items()}
+
+
 def save_checkpoint(log_dir: str, tag, state: TrainState, epoch: int):
     """tag: epoch number or 'best'/'ema_best'/'last'."""
     path = os.path.abspath(os.path.join(log_dir, f"ckpt_epoch_{tag}"))
@@ -23,16 +30,18 @@ def save_checkpoint(log_dir: str, tag, state: TrainState, epoch: int):
         "opt_state": state.opt_state,
         "step": state.step,
         "epoch": np.asarray(epoch),
+        "tag_code": np.asarray(_TAG_CODES.get(str(tag), 0)),
     }
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     return path
 
 
-def load_checkpoint(path: str, state: TrainState) -> (TrainState, int):
-    """Restores into an existing state skeleton; returns (state, epoch).
-    Sentinels like the reference: 'last' -> epoch 600, 'best' -> 0
-    (train.py:157-160)."""
+def load_checkpoint(path: str, state: TrainState):
+    """Restores into an existing state skeleton; returns (state, epoch, tag)
+    where tag is '' (periodic epoch checkpoint), 'best', 'ema_best' or
+    'last'. Epoch sentinels like the reference: 'last' -> epoch 600,
+    'best'/'ema_best' -> 0 (train.py:157-160)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     skeleton = {
@@ -43,6 +52,7 @@ def load_checkpoint(path: str, state: TrainState) -> (TrainState, int):
         "opt_state": state.opt_state,
         "step": state.step,
         "epoch": np.asarray(0),
+        "tag_code": np.asarray(0),
     }
     restored = ckptr.restore(path, skeleton)
     state = state.replace(
@@ -51,8 +61,9 @@ def load_checkpoint(path: str, state: TrainState) -> (TrainState, int):
         ema_batch_stats=restored["ema_batch_stats"],
         opt_state=restored["opt_state"], step=restored["step"])
     epoch = int(restored["epoch"])
-    if path.endswith("last"):
+    tag = _CODE_TAGS[int(restored["tag_code"])]
+    if tag == "last":
         epoch = 600
-    elif path.endswith("best"):
+    elif tag in ("best", "ema_best"):
         epoch = 0
-    return state, epoch
+    return state, epoch, tag

@@ -38,6 +38,11 @@ class TrainFlags:
     lambda_metric_size: float = 5e-4
     lambda_metric_score: float = 5e-4
     lambda_arkit_pc_loss: float = 0.0
+    # GT-assignment radii (reference: 0.3/0.6 m, loss_helper_pq.py:17-18).
+    # Overridable as a documented extension for small-scale regimes where
+    # the fixed radii yield no positive assignments.
+    near_threshold: float = 0.3
+    far_threshold: float = 0.6
 
 
 def make_train_step(model, cfg: ModelConfig, mean_size_arr,
@@ -68,7 +73,9 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
         gt_ep.update(labeled)
         sup_loss, sup_stats = losses.get_loss(gt_ep, mean_size_arr,
                                               num_layer=num_layer,
-                                              pc_loss=flags.pc_loss)
+                                              pc_loss=flags.pc_loss,
+                                              near=flags.near_threshold,
+                                              far=flags.far_threshold)
         stats.update(sup_stats)
 
         total = sup_loss
@@ -109,7 +116,9 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
                 cons_ep, ema_ep, mean_size_arr, num_layer=num_layer)
             cons_loss = cons_loss * consistency_weight
             stats.update(cons_stats)
-            stats["consistency_loss"] = cons_loss
+            # keep cons_stats["consistency_loss"] (per-prefix object mean,
+            # the reference's stat) distinct from the ramped-weight total
+            stats["weighted_consistency_loss"] = cons_loss
             total = total + cons_loss
 
         # 4. ARKit omni-supervised pc loss on the weak half

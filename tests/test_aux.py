@@ -1,6 +1,7 @@
 """Auxiliary-surface tests: legacy teacher loss, focal loss, MSG modules,
 DoubleLoader, viz dumps, metrics logger, preprocessing pipeline."""
 import json
+import pytest
 import os
 import struct
 
@@ -18,6 +19,7 @@ from tests.util import TINY, tiny_cloud
 
 
 class TestTeacherLoss:
+    @pytest.mark.slow
     def test_runs_and_finite(self, rng):
         model = PQTransformer(TINY)
         pc = jnp.asarray(tiny_cloud(rng))
@@ -30,6 +32,7 @@ class TestTeacherLoss:
         loss = losses.get_loss_teacher(ep, ep, num_layer=TINY.num_decoder_layers)
         assert np.isfinite(float(loss))
 
+    @pytest.mark.slow
     def test_identity_teacher_score_dominates(self, rng):
         # with student == teacher and identity augmentation, the geometric
         # losses (center/size/normal vs own predictions) should be ~0

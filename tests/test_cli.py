@@ -5,9 +5,12 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 from omni_pq_tpu.cli import train as train_cli
 from omni_pq_tpu.cli import eval as eval_cli
+
+pytestmark = pytest.mark.slow
 
 
 def test_train_then_eval(tmp_path):
@@ -15,11 +18,20 @@ def test_train_then_eval(tmp_path):
     argv = ["--smoke", "--synthetic_data", "--num_point", "512",
             "--batch_size", "2", "--max_epoch", "2", "--end_proportion", "1.0",
             "--ema", "--pc_loss", "--val_freq", "1", "--save_freq", "1",
-            "--print_freq", "4", "--log_dir", log_dir, "--faster_eval"]
+            "--print_freq", "4", "--log_dir", log_dir, "--faster_eval",
+            "--profile", "2"]
     max_f1, max_ema_f1 = train_cli.main(argv)
     assert os.path.exists(os.path.join(log_dir, "config.json"))
     ckpts = glob.glob(os.path.join(log_dir, "ckpt_epoch_*"))
     assert any(c.endswith("last") for c in ckpts)
+    # metrics.jsonl carries train scalars and per-eval F1 records
+    import json
+    recs = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
+    assert any("train/total_loss" in r for r in recs)
+    assert any("eval/quad_f1" in r for r in recs)
+    # --profile wrote a trace a user can open in TensorBoard/XProf
+    assert glob.glob(os.path.join(log_dir, "profile", "**", "*.xplane.pb"),
+                     recursive=True)
 
     f1 = eval_cli.main(["--smoke", "--synthetic_data", "--num_point", "512",
                         "--batch_size", "2", "--faster_eval",

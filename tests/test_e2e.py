@@ -4,6 +4,7 @@ kernels -> model -> losses -> optimizer) has to cooperate for this to pass."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from omni_pq_tpu.config import SCANNET_MEAN_SIZES
 from omni_pq_tpu.data.synthetic import make_batch
@@ -14,6 +15,7 @@ from omni_pq_tpu.train import (TrainFlags, OptimizerConfig, create_train_state,
 from tests.util import TINY
 
 
+@pytest.mark.slow
 def test_overfit_improves_quads():
     rng = np.random.default_rng(0)
     batch = {k: jnp.asarray(v)

@@ -1,0 +1,256 @@
+"""Golden parity: direct numpy ports of the reference's per-scene Python-loop
+losses, asserted against the vectorized jnp implementations on small random
+fixtures.
+
+Oracles ported from:
+  - compute_physical_constraints_loss + projection2d + get_2d_box
+    (/root/reference/models/loss_helper_pq.py:307-410)
+  - quad_point_mixture_metric (/root/reference/models/utils/
+    gamma_mixture_loss_util.py:27-127) with the keep-mask from fit.fit_gamma's
+    labeling (fit.py:163-174: weight*pdf_a >= (1-weight)*pdf_b with the
+    INITIAL parameters — the reference's EM never touches the labels).
+"""
+import numpy as np
+import jax.numpy as jnp
+from scipy.stats import gamma as scipy_gamma
+
+from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+from omni_pq_tpu.losses.supervised import (compute_physical_constraints_loss,
+                                           PC_EXCLUDED_CLASSES)
+from omni_pq_tpu.losses.gamma import quad_point_mixture_metric
+
+
+def smoothl1_np(x, delta=1.0):
+    d = np.abs(x)
+    return np.where(d < delta, 0.5 * d * d / delta, d - 0.5 * delta)
+
+
+# ---------------------------------------------------------------- pc loss
+
+def ref_projection2d(point, center, normal_vector, size):
+    """loss_helper_pq.py:328-350 (numpy)."""
+    a, b = normal_vector[0], normal_vector[1]
+    d = -(a * center[0] + b * center[1])
+    k = -(a * point[:, 0] + b * point[:, 1] + d)
+    x = point[:, 0] + a * k
+    y = point[:, 1] + b * k
+    t = np.stack([x, y], axis=-1)
+    w = np.linalg.norm(t - center[0:2], axis=1)
+    point_mask = (w < size[0]).astype(np.float64)
+    delta = point @ np.array([a, b]) + d
+    pc_loss = np.maximum(-delta, 0.0) * point_mask
+    collision = (pc_loss > 1e-4).sum()
+    return pc_loss.sum(), collision
+
+
+def ref_pc_loss(ep, mean_size_arr):
+    """loss_helper_pq.py:357-410 (numpy, per-scene loops)."""
+    prefix = "last_"
+    pred_center = ep[f"{prefix}center"]
+    pred_size_class = np.argmax(ep[f"{prefix}size_scores"], -1)
+    B, K = pred_size_class.shape
+    pred_size_res = np.take_along_axis(
+        ep[f"{prefix}size_residuals"],
+        pred_size_class[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+    objectness_label = ep[f"{prefix}objectness_label"].astype(np.float64)
+    sem = np.take_along_axis(ep["sem_cls_label"],
+                             ep[f"{prefix}object_assignment"], axis=1)
+    box_size = mean_size_arr[pred_size_class] + pred_size_res
+
+    # get_2d_box corner order (loss_helper_pq.py:307-326)
+    l, w = box_size[..., 0], box_size[..., 1]
+    corners = np.zeros((B, K, 4, 2))
+    corners[:, :, 0, 0] = corners[:, :, 1, 0] = l / 2
+    corners[:, :, 2, 0] = corners[:, :, 3, 0] = -l / 2
+    corners[:, :, 0, 1] = corners[:, :, 2, 1] = w / 2
+    corners[:, :, 1, 1] = corners[:, :, 3, 1] = -w / 2
+    corners += pred_center[:, :, None, :2]
+
+    qc = ep[f"{prefix}quad_center"]
+    nv = ep[f"{prefix}normal_vector"]
+    qs = ep[f"{prefix}quad_size"]
+    quad_label = ep[f"{prefix}quad_label"]
+    Q = qc.shape[1]
+
+    pc_loss, collisions = 0.0, 0.0
+    for i in range(B):
+        keep = [j for j in range(K)
+                if objectness_label[i, j] and sem[i, j] not in PC_EXCLUDED_CLASSES]
+        if not keep:
+            continue
+        pts = corners[i, keep].reshape(-1, 2)
+        for k in range(Q):
+            if quad_label[i, k]:
+                loss, col = ref_projection2d(pts, qc[i, k], nv[i, k], qs[i, k])
+                pc_loss += loss / len(keep)
+                collisions += col
+    return pc_loss, collisions
+
+
+def test_pc_loss_matches_reference_loops(rng):
+    B, K, Q = 3, 12, 6
+    ep_np = {
+        "last_center": rng.uniform(0, 4, (B, K, 3)).astype(np.float32),
+        "last_size_scores": rng.normal(size=(B, K, 18)).astype(np.float32),
+        "last_size_residuals": rng.normal(
+            scale=0.1, size=(B, K, 18, 3)).astype(np.float32),
+        "last_objectness_label": (rng.uniform(size=(B, K)) < 0.6).astype(np.int32),
+        "last_object_assignment": rng.integers(0, 8, (B, K)).astype(np.int32),
+        "sem_cls_label": rng.integers(0, 18, (B, 64)).astype(np.int32),
+        "last_quad_center": rng.uniform(0, 4, (B, Q, 3)).astype(np.float32),
+        "last_normal_vector": rng.normal(size=(B, Q, 3)).astype(np.float32),
+        "last_quad_size": rng.uniform(0.5, 4, (B, Q, 2)).astype(np.float32),
+        "last_quad_label": (rng.uniform(size=(B, Q)) < 0.7).astype(np.int32),
+    }
+    want_loss, want_col = ref_pc_loss(ep_np, np.asarray(SCANNET_MEAN_SIZES))
+    got_loss, got_col = compute_physical_constraints_loss(
+        {k: jnp.asarray(v) for k, v in ep_np.items()},
+        jnp.asarray(SCANNET_MEAN_SIZES))
+    np.testing.assert_allclose(float(got_loss), want_loss, rtol=2e-4)
+    np.testing.assert_allclose(float(got_col), want_col)
+
+
+def test_pc_loss_zero_box_scene_skipped(rng):
+    # a scene with no valid boxes contributes nothing (the reference's
+    # `continue` at loss_helper_pq.py:402)
+    B, K, Q = 1, 4, 2
+    ep_np = {
+        "last_center": rng.uniform(0, 4, (B, K, 3)).astype(np.float32),
+        "last_size_scores": rng.normal(size=(B, K, 18)).astype(np.float32),
+        "last_size_residuals": rng.normal(
+            scale=0.1, size=(B, K, 18, 3)).astype(np.float32),
+        "last_objectness_label": np.zeros((B, K), np.int32),
+        "last_object_assignment": np.zeros((B, K), np.int32),
+        "sem_cls_label": np.zeros((B, 64), np.int32),
+        "last_quad_center": rng.uniform(0, 4, (B, Q, 3)).astype(np.float32),
+        "last_normal_vector": rng.normal(size=(B, Q, 3)).astype(np.float32),
+        "last_quad_size": rng.uniform(0.5, 4, (B, Q, 2)).astype(np.float32),
+        "last_quad_label": np.ones((B, Q), np.int32),
+    }
+    got_loss, got_col = compute_physical_constraints_loss(
+        {k: jnp.asarray(v) for k, v in ep_np.items()},
+        jnp.asarray(SCANNET_MEAN_SIZES))
+    assert float(got_loss) == 0.0 and float(got_col) == 0.0
+
+
+# ---------------------------------------------------------- gamma metric
+
+def ref_gamma_metric(score, center, normal, quad_size, pc, pn):
+    """quad_point_mixture_metric (numpy port). Returns the 4 metrics and
+    the kept count."""
+    quad_size = quad_size.astype(np.float64).copy()
+    quad_size[0] /= 1.5
+    K = pc.shape[0]
+    n2 = normal[:2] / np.linalg.norm(normal[:2])
+    n3 = np.concatenate([n2, [0.0]])
+
+    pn_hat = pn / np.maximum(np.linalg.norm(pn, axis=1, keepdims=True), 1e-5)
+    distance_cosine = 1.0 - np.abs(pn_hat @ n3)
+
+    off = pc - center
+    vertical = np.abs(off @ n3)
+
+    z_dir = np.array([0.0, 0.0, 1.0])
+    x_dir = np.cross(z_dir, n3)
+    x_dis = np.abs(off @ x_dir)
+    z_dis = np.abs(off @ z_dir)
+    size_a = np.linalg.norm(
+        np.maximum(2 * np.stack([x_dis, z_dis], 1) - quad_size, 0.0), axis=-1)
+    total = 2.5 * distance_cosine + 0.2 * size_a ** 2 + 0.5 * vertical
+
+    # fit_gamma labeling with the initial parameters (rate parameterization)
+    keep = (0.1 * scipy_gamma.pdf(total, 2, scale=1 / 20.0)
+            >= 0.9 * scipy_gamma.pdf(total, 3, scale=1.0))
+    kept, keptn = pc[keep], pn[keep]
+    if kept.shape[0] < 300:
+        return 0.0, 0.0, 0.0, 0.0, kept.shape[0]
+
+    est = keptn.mean(0)[:2]
+    est3 = np.concatenate([est, [0.0]])
+    est3 = est3 / np.linalg.norm(est3)
+    metric_normal = 1.0 - abs(est3 @ n3)
+
+    mv = vertical[keep]
+    metric_vertical = (mv * (mv < np.quantile(mv, 0.85))).mean()
+
+    kept_mean = kept.mean(0)
+    off2 = pc - kept_mean
+    x2 = np.abs(off2 @ x_dir)[keep]
+    pseudo_x = np.mean([np.quantile(x2, t) / t for t in (0.85, 0.925, 1.0)])
+    metric_size = smoothl1_np(quad_size[0] - 2 * pseudo_x).sum()
+    metric_size += smoothl1_np(kept_mean - center).sum()
+
+    if metric_vertical < 0.05 and metric_normal < 0.02 and metric_size < 0.10:
+        target = 1
+    elif metric_vertical > 0.3 or metric_normal > 0.05 or metric_size > 0.35:
+        target = 0
+    else:
+        target = None
+    if target is None:
+        metric_score = 0.0
+    else:
+        logp = score - np.log(np.sum(np.exp(score - score.max()))) - score.max()
+        metric_score = -logp[target]
+    return metric_normal, metric_vertical, metric_size, metric_score, int(keep.sum())
+
+
+def _wall_fixture(rng, K=2048):
+    """Points dominated by one wall plane (x = 2, normal +x) plus clutter,
+    so >300 points survive the mixture keep-mask."""
+    n_wall = int(K * 0.7)
+    wall = np.stack([np.full(n_wall, 2.0),
+                     rng.uniform(0, 3, n_wall),
+                     rng.uniform(0, 2.5, n_wall)], 1)
+    wall += rng.normal(scale=0.01, size=wall.shape)
+    wn = np.tile([1.0, 0.0, 0.0], (n_wall, 1))
+    wn += rng.normal(scale=0.02, size=wn.shape)
+    n_cl = K - n_wall
+    clutter = rng.uniform(0, 4, (n_cl, 3))
+    cn = rng.normal(size=(n_cl, 3))
+    pc = np.concatenate([wall, clutter]).astype(np.float32)
+    pn = np.concatenate([wn, cn]).astype(np.float32)
+    return pc, pn
+
+
+def test_gamma_metric_matches_reference(rng):
+    pc, pn = _wall_fixture(rng)
+    score = np.array([-1.0, 2.0], np.float32)
+    center = np.array([2.0, 1.5, 1.25], np.float32)
+    normal = np.array([0.9, 0.1, 0.05], np.float32)
+    quad_size = np.array([3.1, 2.4], np.float32)
+
+    wn, wv, ws, wsc, wcnt = ref_gamma_metric(
+        score.astype(np.float64), center.astype(np.float64),
+        normal.astype(np.float64), quad_size, pc.astype(np.float64),
+        pn.astype(np.float64))
+    assert wcnt >= 300, "fixture must keep enough points"
+
+    gn, gv, gs, gsc, enough = quad_point_mixture_metric(
+        jnp.asarray(score), jnp.asarray(center), jnp.asarray(normal),
+        jnp.asarray(quad_size), jnp.asarray(pc), jnp.asarray(pn))
+    assert bool(enough)
+    np.testing.assert_allclose(float(gn), wn, atol=2e-4)
+    np.testing.assert_allclose(float(gv), wv, rtol=2e-3)
+    np.testing.assert_allclose(float(gs), ws, rtol=2e-3)
+    np.testing.assert_allclose(float(gsc), wsc, rtol=2e-3, atol=1e-6)
+
+
+def test_gamma_metric_far_quad_demoted(rng):
+    # a confident quad far from any wall: kept points (clutter near the
+    # plane) should trip the demote branch or fail the 300-point floor
+    pc, pn = _wall_fixture(rng)
+    score = np.array([0.0, 1.0], np.float32)
+    center = np.array([0.5, 0.5, 0.4], np.float32)
+    normal = np.array([0.1, 0.9, 0.0], np.float32)
+    quad_size = np.array([1.0, 1.0], np.float32)
+    wn, wv, ws, wsc, wcnt = ref_gamma_metric(
+        score.astype(np.float64), center.astype(np.float64),
+        normal.astype(np.float64), quad_size, pc.astype(np.float64),
+        pn.astype(np.float64))
+    gn, gv, gs, gsc, enough = quad_point_mixture_metric(
+        jnp.asarray(score), jnp.asarray(center), jnp.asarray(normal),
+        jnp.asarray(quad_size), jnp.asarray(pc), jnp.asarray(pn))
+    if wcnt < 300:
+        assert not bool(enough)
+    else:
+        np.testing.assert_allclose(float(gsc), wsc, rtol=2e-3, atol=1e-6)

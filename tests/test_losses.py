@@ -127,6 +127,7 @@ class TestSupervised:
                   "quad_score_loss_sum", "physical_constraints_loss"]:
             assert np.isfinite(float(stats[k])), k
 
+    @pytest.mark.slow
     def test_grad_through_loss(self, model_out, rng):
         model, variables, _, pc = model_out
         labels = make_labels(rng)

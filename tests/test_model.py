@@ -1,5 +1,6 @@
 """Model-tier tests: module shapes, end_points contract, train/eval modes."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +68,7 @@ def test_train_mode_updates_batch_stats(rng):
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_grads_flow(rng):
     model = PQTransformer(TINY)
     pc = jnp.asarray(tiny_cloud(rng, batch=1))

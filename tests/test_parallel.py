@@ -1,5 +1,6 @@
 """Multi-device tests on the 8-device virtual CPU mesh (conftest)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +26,7 @@ def test_sharded_batch_layout(rng):
     assert sb["point_clouds"].sharding == batch_sharding(mesh)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device(rng):
     """The sharded train step must produce the same update as the unsharded
     one — XLA's inserted all-reduce == DDP gradient averaging."""
@@ -71,6 +73,7 @@ def test_data_parallel_step_matches_single_device(rng):
     assert frac > 0.95, frac
 
 
+@pytest.mark.slow
 def test_graft_dryrun():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -53,6 +53,7 @@ class TestSchedule:
 
 
 class TestOptimizer:
+    @pytest.mark.slow
     def test_decoder_group_gets_lower_lr(self, setup):
         model, variables, labeled, _ = setup
         state = create_train_state(variables, OptimizerConfig(total_steps=100))
@@ -72,6 +73,7 @@ class TestOptimizer:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_full_step_runs_and_improves(self, setup):
         model, variables, labeled, weak = setup
         flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False,
@@ -89,6 +91,7 @@ class TestTrainStep:
         # overfitting a fixed batch must reduce the loss
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
+    @pytest.mark.slow
     def test_ema_tracks_student(self, setup):
         model, variables, labeled, weak = setup
         flags = TrainFlags(ema=True, gamma_mixture=False, pc_loss=False)
@@ -115,6 +118,7 @@ class TestTrainStep:
         assert np.isfinite(float(stats["total_loss"]))
         assert "consistency_loss" not in stats
 
+    @pytest.mark.slow
     def test_arkit_mode(self, setup):
         model, variables, labeled, weak = setup
         flags = TrainFlags(ema=False, gamma_mixture=False, arkit=True,
@@ -126,6 +130,7 @@ class TestTrainStep:
                             jnp.float32(0.0))
         assert np.isfinite(float(stats["arkit_pc_loss"]))
 
+    @pytest.mark.slow
     def test_eval_step(self, setup):
         model, variables, labeled, _ = setup
         state = create_train_state(variables, OptimizerConfig(total_steps=10))
@@ -139,6 +144,7 @@ class TestTrainStep:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip(self, setup, tmp_path):
         model, variables, labeled, weak = setup
         state = create_train_state(variables, OptimizerConfig(total_steps=200))
@@ -148,12 +154,24 @@ class TestCheckpoint:
                         jnp.float32(0.0))
         path = save_checkpoint(str(tmp_path), 5, state, epoch=5)
         fresh = create_train_state(variables, OptimizerConfig(total_steps=200))
-        restored, epoch = load_checkpoint(path, fresh)
+        restored, epoch, tag = load_checkpoint(path, fresh)
         assert epoch == 5
+        assert tag == ""
         np.testing.assert_allclose(
             np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
         assert int(restored.step) == 1
+
+    def test_tag_sentinels(self, setup, tmp_path):
+        model, variables, labeled, weak = setup
+        state = create_train_state(variables, OptimizerConfig(total_steps=200))
+        path = save_checkpoint(str(tmp_path), "ema_best", state, epoch=7)
+        fresh = create_train_state(variables, OptimizerConfig(total_steps=200))
+        _, epoch, tag = load_checkpoint(path, fresh)
+        assert tag == "ema_best" and epoch == 0
+        path = save_checkpoint(str(tmp_path), "last", state, epoch=9)
+        _, epoch, tag = load_checkpoint(path, fresh)
+        assert tag == "last" and epoch == 600
 
 
 class TestSynthetic:
@@ -177,6 +195,7 @@ class TestSynthetic:
 
 
 class TestGradAccumulation:
+    @pytest.mark.slow
     def test_step_freq_accumulates(self, setup):
         model, variables, labeled, weak = setup
         flags = TrainFlags(ema=False, gamma_mixture=False, pc_loss=False)
