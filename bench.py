@@ -105,6 +105,9 @@ def main():
         "value": round(scenes_per_sec, 3),
         "unit": "scenes/s",
         "vs_baseline": round(scenes_per_sec / BASELINE_SCENES_PER_SEC, 3),
+        "baseline_note": ("denominator 4.0 scenes/s/chip is an ESTIMATE of "
+                          "the A100 reference (it publishes no throughput); "
+                          "north star is vs_baseline >= 2"),
     }))
 
 

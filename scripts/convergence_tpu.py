@@ -1,0 +1,137 @@
+"""Full-scale detection-quality demonstration on TPU.
+
+Overfits the FULL PQ-Transformer (40k points, 256+256 proposals, 6 decoder
+layers) on 4 fixed synthetic rooms under the reference's default training
+losses and its default 0.3/0.6 m assignment radii (loss_helper_pq.py:17-18),
+evaluating the quad corner-F1 (ap_helper_pq.py:695-736 semantics) on those
+rooms as training proceeds. Rooms are drawn at 2.0-2.6 m so FPS quad queries
+land within the fixed 0.3 m NEAR radius of wall centers (the ScanNet-size
+default of 3-7 m leaves positives too sparse to overfit 4 scenes quickly —
+the reference trains for 1200 epochs on 1201 scenes to cover that).
+
+Writes docs/CONVERGENCE.md with the F1-vs-step curve.
+
+Run (on the TPU host):  python scripts/convergence_tpu.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES, DatasetConfig
+from omni_pq_tpu.data.synthetic import make_batch
+from omni_pq_tpu.evals import (parse_quad_predictions, parse_quad_groundtruths,
+                               QuadAPCalculator)
+from omni_pq_tpu.models import PQTransformer
+from omni_pq_tpu.train import (TrainFlags, OptimizerConfig, create_train_state,
+                               make_train_step, make_eval_step)
+
+CONFIG_DICT = {"remove_empty_box": False, "use_3d_nms": True,
+               "nms_iou": 0.25, "use_old_type_nms": False, "cls_nms": True,
+               "per_class_proposal": False, "conf_thresh": 0.0,
+               "nms_iou_quad": 0.25, "dataset_config": DatasetConfig()}
+
+TOTAL_STEPS = int(os.environ.get("CONV_STEPS", 6000))
+EVAL_EVERY = int(os.environ.get("CONV_EVAL_EVERY", 500))
+
+
+def quad_f1(ev, state, batch, np_batch):
+    ep = ev(state, batch["point_clouds"])
+    merged = {k: np.asarray(v) for k, v in ep.items()}
+    merged.update(np_batch)
+    pred_cls, _, pred_corners = parse_quad_predictions(merged, CONFIG_DICT,
+                                                       "last_")
+    gt_cls, gt_corners = parse_quad_groundtruths(merged, CONFIG_DICT)
+    calc = QuadAPCalculator()
+    calc.step(pred_cls, gt_cls, pred_corners, gt_corners,
+              list(np_batch["horizontal_quads"]))
+    f1 = calc.compute_F1(calculated=True)
+    tp = fp = 0
+    for i in range(calc.scan_cnt):
+        for pc_ in calc.pred_corners[i]:
+            if calc.compute_correctness(pc_, calc.gt_corners[i]):
+                tp += 1
+            else:
+                fp += 1
+    return f1, tp, fp
+
+
+def main():
+    cfg = ModelConfig()
+    rng = np.random.default_rng(7)
+    # 2.0-2.6 m rooms put ~8 FPS queries/m^2 on the surfaces, i.e. ~2
+    # positive queries per wall under the fixed 0.3 m radius (at the
+    # ScanNet-size default of 3-7 m positives are ~0.7/wall and the
+    # overfit needs the reference's full 1200-epoch regime to bite)
+    np_batch = make_batch(rng, 4, cfg.num_points, num_objects=3,
+                          w_range=(2.0, 2.6), d_range=(2.0, 2.6),
+                          h_range=(2.0, 2.4))
+    batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+    model = PQTransformer(cfg)
+    print("init...", flush=True)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    batch["point_clouds"])
+    state = create_train_state(
+        variables, OptimizerConfig(total_steps=TOTAL_STEPS,
+                                   learning_rate=2e-3), ema=True)
+    flags = TrainFlags(ema=False, gamma_mixture=False, arkit=False,
+                       pc_loss=True)  # reference default radii 0.3/0.6
+    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+    ev = make_eval_step(model)
+
+    curve = []
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    for i in range(TOTAL_STEPS):
+        key, k = jax.random.split(key)
+        state, stats = step(state, batch, batch, k, jnp.float32(0.0))
+        if (i + 1) % EVAL_EVERY == 0 or i == 0:
+            f1, tp, fp = quad_f1(ev, state, batch, np_batch)
+            loss = float(stats["total_loss"])
+            curve.append({"step": i + 1, "f1": f1, "tp": tp, "fp": fp,
+                          "loss": loss})
+            print(f"step {i + 1}: F1 {f1:.3f} tp {tp} fp {fp} "
+                  f"loss {loss:.3f} ({time.time() - t0:.0f}s)", flush=True)
+    out = {"config": "full PQ-Transformer, 40k pts, 4 synthetic rooms "
+                     "(2.0-2.6 m), NEAR/FAR = reference default 0.3/0.6 m, "
+                     "supervised losses incl. physical constraints",
+           "curve": curve}
+    os.makedirs("docs", exist_ok=True)
+    with open("docs/convergence_curve.json", "w") as f:
+        json.dump(out, f, indent=1)
+
+    lines = ["# Detection-quality convergence (full scale, real TPU)", "",
+             "Command: `python scripts/convergence_tpu.py` (one v5e chip).",
+             "",
+             "Setup: the flagship model at the full reference scale "
+             "(40k points, 256 object + 256 quad proposals, 6 decoder "
+             "layers), overfitting 4 fixed synthetic rooms (2.0-2.6 m) with "
+             "the reference's supervised losses and its default 0.3/0.6 m "
+             "GT-assignment radii. Metric: quad corner-F1 with NMS, 0.5 "
+             "confidence gate, 0.40 m corner matching and ceiling/floor "
+             "synthesis — the exact semantics of ap_helper_pq.py:695-736. "
+             "npos counts `num_total_quads` = 6 per room (the reference's "
+             "recall-denominator inflation), so 16 matched walls / 24 give "
+             "recall 0.667.",
+             "", "| step | quad F1 | TP | FP | train loss |",
+             "|---|---|---|---|---|"]
+    for c in curve:
+        lines.append(f"| {c['step']} | {c['f1']:.3f} | {c['tp']} | "
+                     f"{c['fp']} | {c['loss']:.3f} |")
+    lines += ["",
+              "A tiny-scale CPU variant of this demonstration runs as "
+              "`pytest tests/test_convergence.py -m slow` (raised radii, "
+              "documented in the test).", ""]
+    with open("docs/CONVERGENCE.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote docs/CONVERGENCE.md")
+
+
+if __name__ == "__main__":
+    main()
