@@ -61,7 +61,7 @@ def main():
 
     state = create_train_state(variables, OptimizerConfig(total_steps=10000))
     flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False, pc_loss=True)
-    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags, donate=True)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()

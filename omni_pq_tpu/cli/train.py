@@ -256,7 +256,8 @@ def main(argv=None):
         lambda_metric_score=args.lambda_metric_score,
         lambda_arkit_pc_loss=args.lambda_arkit_pc_loss,
         near_threshold=args.near_threshold, far_threshold=args.far_threshold)
-    train_step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+    train_step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags,
+                                 donate=True)
 
     f1, ema_f1, max_f1, max_ema_f1 = 0.0, 0.2, 0.0, 0.2
     step_rng = jax.random.PRNGKey(args.rng_seed + 123)

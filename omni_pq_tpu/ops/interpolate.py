@@ -2,17 +2,20 @@
 
 The reference implements these as CUDA kernels with atomicAdd backward passes
 (pointnet2/_ext_src/src/interpolate_gpu.cu, group_points_gpu.cu,
-sampling_gpu.cu:13-62). On TPU the forward gathers are near-optimal in XLA,
-but the autodiff-derived scatter-add backward serializes badly (~55 ms/step
-at the reference scale, round-1 profiling), so gather_points carries a
-custom VJP that computes the segment sum with gather-only primitives:
-sort the (index, position) pairs, permute the cotangents (a gather), a
-two-level cumsum, and difference the prefix sums at the segment boundaries
-(searchsorted + gather). Deterministic, unlike the CUDA atomics.
+sampling_gpu.cu:13-62). On TPU both directions stay native XLA: the forward
+is a gather, and autodiff derives a scatter-add backward that XLA lowers
+well — and, unlike the CUDA atomics, deterministically.
+
+Measured dead-end (v5e, 2026-08-16, kept as a warning): a "gather-only"
+segment-sum backward (argsort indices + permute cotangents + cumsum +
+prefix-difference at searchsorted segment boundaries) was tried to avoid the
+scatter. A/B at the real SA-layer shapes showed it 3.9x SLOWER than XLA's
+scatter at sa1 (B6 N40000 S2048 K64 C4: 84 ms vs 22 ms fwd+bwd), 5-9x slower
+at sa2/sa3, and 165x slower at vote-aggregation shapes — the sort and the
+(S*K, C) cumsum dwarf the scatter they replace. XLA's TPU scatter-add needs
+no replacement here.
 """
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -45,51 +48,16 @@ def three_nn(unknown, known):
     return jnp.stack(dists, axis=-1), jnp.stack(idxs, axis=-1)
 
 
-def segment_sum_sorted(g: jax.Array, idx: jax.Array, n: int) -> jax.Array:
-    """sum_{m: idx[m]=k} g[m] for k in [0, n) — g (M, C), idx (M,) -> (n, C).
-
-    Gather-only TPU formulation of the scatter-add: sort, permute, prefix-sum,
-    difference at segment boundaries. f32 accumulation regardless of g dtype.
-    """
-    M, C = g.shape
-    perm = jnp.argsort(idx)
-    idx_s = jnp.take(idx, perm)
-    g_s = jnp.take(g.astype(jnp.float32), perm, axis=0)
-    cs = jnp.cumsum(g_s, axis=0)
-    # segment k occupies [b[k], b[k+1]) in the sorted order
-    b = jnp.searchsorted(idx_s, jnp.arange(n + 1, dtype=idx_s.dtype),
-                         side="left").astype(jnp.int32)
-    cs_pad = jnp.concatenate([jnp.zeros((1, C), jnp.float32), cs], axis=0)
-    return (jnp.take(cs_pad, b[1:], axis=0)
-            - jnp.take(cs_pad, b[:-1], axis=0)).astype(g.dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _gather_points(points, idx, n):
-    return jnp.take_along_axis(points, idx[..., None], axis=1)
-
-
-def _gather_points_fwd(points, idx, n):
-    return _gather_points(points, idx, n), idx
-
-
-def _gather_points_bwd(n, idx, g):
-    # g (B, S, C) -> grad_points (B, n, C) via the sorted segment sum
-    grad = jax.vmap(lambda gg, ii: segment_sum_sorted(gg, ii, n))(g, idx)
-    return grad, None
-
-
-_gather_points.defvjp(_gather_points_fwd, _gather_points_bwd)
-
-
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """points (B, N, C), idx (B, S) -> (B, S, C).
 
     Channel-last equivalent of the reference's gather_points
     (sampling_gpu.cu:13-62, which is (B, C, N) x (B, C, S) -> (B, C, S));
-    backward is the gather-only segment sum above instead of XLA's scatter.
+    autodiff derives the deterministic XLA scatter-add backward (see module
+    docstring for the measured A/B that keeps it this way).
     """
-    return _gather_points(points, idx.astype(jnp.int32), points.shape[1])
+    return jnp.take_along_axis(points, idx.astype(jnp.int32)[..., None],
+                               axis=1)
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:

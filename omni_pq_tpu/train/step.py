@@ -46,10 +46,17 @@ class TrainFlags:
 
 
 def make_train_step(model, cfg: ModelConfig, mean_size_arr,
-                    flags: TrainFlags):
+                    flags: TrainFlags, donate: bool = False):
     """Returns jitted fn(state, labeled, weak, rng, consistency_weight) ->
     (state, stats). `labeled`/`weak` are dicts of fixed-shape arrays; `weak`
-    may equal `labeled` when flags disable the semi-supervised path."""
+    may equal `labeled` when flags disable the semi-supervised path.
+
+    donate=True donates the input TrainState buffers (params, EMA replica,
+    optimizer moments — ~3x params of HBM) so XLA updates them in place
+    instead of allocating + copying a fresh tree every step. Drivers that
+    only ever use the returned state (the train loop pattern) should pass
+    True; leave False when the caller reuses the input state afterwards
+    (e.g. comparing before/after trees in tests)."""
     num_layer = cfg.num_decoder_layers
 
     def loss_fn(params, batch_stats, ema_params, ema_batch_stats, labeled,
@@ -135,7 +142,7 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
         stats["total_loss"] = total
         return total, (stats, mutated["batch_stats"], new_ema_batch_stats)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, labeled: Dict, weak: Dict, rng,
                    consistency_weight) -> Tuple[TrainState, Dict]:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

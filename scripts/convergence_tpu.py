@@ -82,7 +82,7 @@ def main():
                                    learning_rate=2e-3), ema=True)
     flags = TrainFlags(ema=False, gamma_mixture=False, arkit=False,
                        pc_loss=True)  # reference default radii 0.3/0.6
-    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
+    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags, donate=True)
     ev = make_eval_step(model)
 
     curve = []

@@ -106,6 +106,31 @@ class TestTrainStep:
         np.testing.assert_allclose(np.asarray(e1),
                                    np.asarray(0.5 * p0 + 0.5 * p1), atol=1e-6)
 
+    @pytest.mark.slow
+    def test_donated_step_matches_undonated(self, setup):
+        """donate=True (the driver path) must produce the identical update;
+        the input state's buffers are consumed (freed in place)."""
+        model, variables, labeled, weak = setup
+        flags = TrainFlags(ema=True, gamma_mixture=False, pc_loss=False)
+        fresh = lambda: create_train_state(
+            jax.tree_util.tree_map(jnp.copy, variables),
+            OptimizerConfig(total_steps=200))
+        ref_step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags)
+        don_step = make_train_step(model, TINY, SCANNET_MEAN_SIZES, flags,
+                                   donate=True)
+        s_ref, stats_ref = ref_step(fresh(), labeled, weak,
+                                    jax.random.PRNGKey(3), jnp.float32(0.05))
+        s_in = fresh()
+        leaf = jax.tree_util.tree_leaves(s_in.params)[0]
+        s_don, stats_don = don_step(s_in, labeled, weak,
+                                    jax.random.PRNGKey(3), jnp.float32(0.05))
+        np.testing.assert_allclose(float(stats_ref["total_loss"]),
+                                   float(stats_don["total_loss"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(s_ref.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(s_don.params)[0]))
+        assert leaf.is_deleted()  # the input tree really was donated
+
     def test_supervised_only_mode(self, setup):
         model, variables, labeled, _ = setup
         flags = TrainFlags(ema=False, gamma_mixture=False, arkit=False,
