@@ -31,6 +31,8 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
+    from omni_pq_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES
     from omni_pq_tpu.data.synthetic import make_batch
     from omni_pq_tpu.models import PQTransformer

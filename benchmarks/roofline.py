@@ -37,6 +37,8 @@ def log(*a):
 def main():
     import jax
     import jax.numpy as jnp
+    from omni_pq_tpu.utils.compile_cache import enable as _ecc
+    _ecc()
     from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES
     from omni_pq_tpu.data.synthetic import make_batch
     from omni_pq_tpu.models import PQTransformer

@@ -106,6 +106,10 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--bf16', action='store_true',
                         help='bfloat16 compute for the Dense/MXU path '
                              '(params and losses stay float32)')
+    parser.add_argument('--teacher_bf16', action='store_true',
+                        help='run the EMA-teacher forward in bfloat16 '
+                             '(soft consistency targets only; the student '
+                             'and all losses stay float32)')
     return parser
 
 

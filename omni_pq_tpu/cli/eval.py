@@ -24,6 +24,8 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+    from ..utils.compile_cache import enable as _ecc
+    _ecc()
     from ..config import DatasetConfig
     from ..data import Loader
     from ..models import PQTransformer

@@ -172,6 +172,8 @@ def main(argv=None):
         init_distributed(args.coordinator_address, args.num_processes,
                          args.process_id)
     import jax.numpy as jnp
+    from ..utils.compile_cache import enable as _enable_compile_cache
+    _enable_compile_cache()
     from ..config import ModelConfig, DatasetConfig, SCANNET_MEAN_SIZES
     from ..data import Loader, PrefetchLoader, endless
     from ..models import PQTransformer
@@ -249,7 +251,7 @@ def main(argv=None):
     flags = TrainFlags(
         ema=args.ema, gamma_mixture=args.gamma_mixture, arkit=args.arkit,
         pc_loss=args.pc_loss, use_fitted_mixture=args.use_fitted_mixture,
-        ema_decay=args.ema_decay,
+        teacher_bf16=args.teacher_bf16, ema_decay=args.ema_decay,
         lambda_metric_normal=args.lambda_metric_normal,
         lambda_metric_vertical=args.lambda_metric_vertical,
         lambda_metric_size=args.lambda_metric_size,

@@ -20,7 +20,8 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import fps, ball_query, gather_points, group_points, interpolate_features
+from ..ops import (fps, ball_query, ball_query_group, gather_points,
+                   group_points, interpolate_features)
 
 # torch BN defaults: eps 1e-5; the model sets momentum=0.1 (torch convention:
 # new = 0.9*old + 0.1*batch) == flax momentum 0.9
@@ -73,8 +74,10 @@ class SAModuleVotes(nn.Module):
         if inds is None:
             inds = fps(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)
-        idx = ball_query(self.radius, self.nsample, xyz, new_xyz)
-        grouped_xyz = group_points(xyz, idx) - new_xyz[:, :, None, :]
+        # fused kernel: neighbor indices + relative xyz in one pass (the
+        # separate per-row gather was the single hottest XLA op at sa1)
+        idx, grouped_xyz = ball_query_group(self.radius, self.nsample, xyz,
+                                            new_xyz)
         if self.normalize_xyz:
             grouped_xyz = grouped_xyz / self.radius
         if features is not None:

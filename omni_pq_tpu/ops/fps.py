@@ -57,6 +57,11 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
         pn = pn_ref[:]
+        # extract the previously selected point's coords with a one-hot
+        # reduction. (Tried and rejected: per-row 128-aligned dynamic lane
+        # slices + 128-wide select — measured SLOWER (9.2 vs 8.4 ms at sa1,
+        # the scalar-driven slices serialize) and produced wrong values on
+        # real Mosaic despite passing in interpret mode.)
         last = last_ref[:]
         onehot = (cols == last).astype(jnp.float32)
         cx = jnp.sum(x * onehot, axis=1, keepdims=True)

@@ -32,6 +32,13 @@ class TrainFlags:
     arkit: bool = False
     pc_loss: bool = True
     use_fitted_mixture: bool = False
+    # run the EMA-teacher forward in bfloat16 compute (params/EMA state stay
+    # f32; the Pallas coordinate kernels stay f32). The teacher produces only
+    # soft consistency targets (stop-gradient), so its activations tolerate
+    # bf16; the student's supervised path is untouched. TPU-native win: the
+    # teacher's convs are HBM-bandwidth-bound, so halving activation bytes
+    # nearly halves its cost.
+    teacher_bf16: bool = False
     ema_decay: float = 0.999
     lambda_metric_normal: float = 5e-4
     lambda_metric_vertical: float = 5e-4
@@ -58,6 +65,10 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
     True; leave False when the caller reuses the input state afterwards
     (e.g. comparing before/after trees in tests)."""
     num_layer = cfg.num_decoder_layers
+    teacher_model = model
+    if flags.teacher_bf16:
+        teacher_model = type(model)(
+            dataclasses.replace(cfg, compute_dtype="bfloat16"))
 
     def loss_fn(params, batch_stats, ema_params, ema_batch_stats, labeled,
                 weak, rng, consistency_weight):
@@ -110,11 +121,13 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
         if flags.ema:
             ema_inputs = jnp.concatenate([labeled["ema_point_clouds"],
                                           weak["ema_point_clouds"]], axis=0)
-            ema_ep, ema_mut = model.apply(
+            ema_ep, ema_mut = teacher_model.apply(
                 {"params": ema_params, "batch_stats": ema_batch_stats},
                 ema_inputs, train=True, rngs={"dropout": rng_ema_drop},
                 mutable=["batch_stats"])
-            ema_ep = jax.lax.stop_gradient(ema_ep)
+            ema_ep = jax.lax.stop_gradient(
+                jax.tree_util.tree_map(lambda a: a.astype(jnp.float32),
+                                       ema_ep))
             new_ema_batch_stats = ema_mut["batch_stats"]
             cons_ep = dict(ep)
             for key in ["flip_x_axis", "flip_y_axis", "rot_mat", "scale"]:

@@ -24,6 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from omni_pq_tpu.utils.compile_cache import enable as _enable_compile_cache
+_enable_compile_cache()
+
 from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES, DatasetConfig
 from omni_pq_tpu.data.synthetic import make_batch
 from omni_pq_tpu.evals import (parse_quad_predictions, parse_quad_groundtruths,

@@ -72,6 +72,8 @@ def run(flags_kw, batches, model, cfg, variables, label):
 def main():
     import jax
     import jax.numpy as jnp
+    from omni_pq_tpu.utils.compile_cache import enable as _ecc
+    _ecc()
     from omni_pq_tpu.config import ModelConfig
     from omni_pq_tpu.data.synthetic import make_batch
     from omni_pq_tpu.models import PQTransformer

@@ -116,6 +116,45 @@ class TestBallQuery:
         got = np.asarray(ops.ball_query_ref(0.1, 4, xyz, ctr))
         np.testing.assert_array_equal(got, np.zeros((1, 10, 4), np.int32))
 
+    def test_fused_group_matches_composition(self, rng):
+        # fused ball_query_group == ball_query + gather - center, on BOTH
+        # code paths (small fallback and Pallas), centers drawn from points
+        # (every real center has itself as a hit)
+        for n, s in ((800, 64), (2000, 200)):
+            xyz = rng.uniform(size=(2, n, 3)).astype(np.float32) * 3
+            ctr = xyz[:, :: n // s][:, :s]
+            idx, grouped = ops.ball_query_group(0.4, 16, jnp.asarray(xyz),
+                                                jnp.asarray(ctr))
+            want_idx = np.asarray(ops.ball_query(0.4, 16, jnp.asarray(xyz),
+                                                 jnp.asarray(ctr)))
+            np.testing.assert_array_equal(np.asarray(idx), want_idx)
+            want = np.stack([xyz[b][want_idx[b]] for b in range(2)])
+            want = want - ctr[:, :, None, :]
+            np.testing.assert_allclose(np.asarray(grouped), want,
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_fused_group_vjp(self, rng):
+        # the custom VJP must equal autodiff of the unfused composition
+        xyz = jnp.asarray(rng.uniform(size=(2, 300, 3)).astype(np.float32))
+        ctr_inds = jnp.asarray(np.arange(0, 300, 10, dtype=np.int32)[None]
+                               .repeat(2, 0))
+
+        def fused(x):
+            c = ops.gather_points(x, ctr_inds)
+            _, g = ops.ball_query_group(0.4, 8, x, c)
+            return jnp.sum(jnp.sin(g) * 2.0)
+
+        def unfused(x):
+            c = ops.gather_points(x, ctr_inds)
+            idx = ops.ball_query(0.4, 8, x, c)
+            g = ops.group_points(x, idx) - c[:, :, None, :]
+            return jnp.sum(jnp.sin(g) * 2.0)
+
+        gf = jax.jit(jax.grad(fused))(xyz)
+        gu = jax.jit(jax.grad(unfused))(xyz)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
+                                   rtol=1e-5, atol=1e-6)
+
 
 class TestInterpolate:
     def test_three_nn(self, rng):
