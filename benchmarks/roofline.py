@@ -20,10 +20,13 @@ saturation that the op mix cannot reach.
 Run: python benchmarks/roofline.py   (on the TPU box; ~4 min incl. compile)
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = 98.5e12

@@ -49,7 +49,10 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
         # sign bias (invalid points can never win the argmax)
         pn = x * x + y * y + z * z
         pn_ref[:] = pn
-        mind_ref[:] = jnp.full((B, N), 1e10, dtype=jnp.float32)
+        # validity folded into the initial min-dist: invalid (near-origin /
+        # padding) lanes start at -1 and min() keeps them there (d >= ~0), so
+        # they can never win the argmax — no per-step masking needed
+        mind_ref[:] = jnp.where(pn > FPS_SKIP_NORM_SQ, 1e10, -1.0)
         last_ref[:] = jnp.zeros((B, 1), jnp.int32)
         out_ref[:] = jnp.zeros((B, npoint), dtype=jnp.int32)
 
@@ -59,9 +62,16 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
         pn = pn_ref[:]
         # extract the previously selected point's coords with a one-hot
         # reduction. (Tried and rejected: per-row 128-aligned dynamic lane
-        # slices + 128-wide select — measured SLOWER (9.2 vs 8.4 ms at sa1,
-        # the scalar-driven slices serialize) and produced wrong values on
-        # real Mosaic despite passing in interpret mode.)
+        # slices + 128-wide select — measured SLOWER, 9.2 vs 8.4 ms at sa1;
+        # the scalar-driven slices serialize.)
+        #
+        # Hardware-exactness note: on real TPUs the fused distance form
+        # below differs from the oracle's direct |p-c|^2 by ULPs (FMA /
+        # excess precision), which can flip argmax ties deep in the
+        # selection tail — measured 0-2 of 512 indices, first at ~#507.
+        # Interpret-mode tests are bitwise; hardware parity is
+        # distributional, like the reference's own CUDA reduction-order
+        # tie-breaks (sampling_gpu.cu:79-177).
         last = last_ref[:]
         onehot = (cols == last).astype(jnp.float32)
         cx = jnp.sum(x * onehot, axis=1, keepdims=True)
@@ -72,9 +82,8 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
         d = pn - 2.0 * (x * cx + y * cy + z * cz) + cn
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
-        score = jnp.where(pn > FPS_SKIP_NORM_SQ, mind, -1.0)
-        m = jnp.max(score, axis=1, keepdims=True)
-        nxt = jnp.min(jnp.where(score >= m, cols, N), axis=1, keepdims=True)
+        m = jnp.max(mind, axis=1, keepdims=True)
+        nxt = jnp.min(jnp.where(mind >= m, cols, N), axis=1, keepdims=True)
         nxt = nxt.astype(jnp.int32)
         last_ref[:] = nxt
         # deposit the selected index with a one-hot accumulate

@@ -20,9 +20,12 @@ Run: python scripts/fitted_mixture_tpu.py   (TPU box, ~15 min incl. compiles)
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 60
 CHECK_EVERY = 5
