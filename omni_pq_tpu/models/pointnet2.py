@@ -44,9 +44,15 @@ class SharedMLP(nn.Module):
             x = nn.Dense(c, use_bias=not self.bn, dtype=self.dtype,
                          name=f"layer{i}")(x)
             if self.bn:
+                # BN compute dtype follows the MLP: under bf16 the normalize
+                # output stays bf16 so the whole (B, S, K, C) activation
+                # chain (BN -> relu -> next Dense -> max-pool) moves half the
+                # bytes — this chain is where the step's HBM traffic lives.
+                # Statistics are still accumulated in f32 (flax upcasts for
+                # mean/var) and running stats are stored f32 (param_dtype).
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                 dtype=jnp.float32, name=f"bn{i}")(x)
+                                 dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
 
