@@ -46,8 +46,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_CHUNK = 512  # points per streamed chunk (lane-aligned)
-_TILE = 128   # centers per program
+# points per streamed chunk / centers per program. Swept on hardware at the
+# sa1 scale (benchmarks/TUNING.md): 128x1024 beat 128x512 (20.2 vs 21.6 ms),
+# 128x256 (33.4), 128x1536 (22.2), 256x512 (25.9); TILE=64 is invalid (lane
+# dim must be 128-divisible).
+_CHUNK = 1024
+_TILE = 128
 
 
 def _spread_bits_u32(v):
