@@ -135,10 +135,6 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
             validhit = mask & (slot < nsample)
             # idx+1 so that 0 means "slot untouched"
             val = jnp.where(validhit, gcols + 1, 0)
-            if emit_values:
-                vx = jnp.where(validhit, px - cx, 0.0)
-                vy = jnp.where(validhit, py - cy, 0.0)
-                vz = jnp.where(validhit, pz - cz, 0.0)
             # only slots in [min(count), max touched] can receive a deposit
             # this chunk — predicate the unrolled histogram on that range
             # (slot indices strictly increase across chunks, so each slot is
@@ -154,13 +150,46 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
                         sel = slot == s
                         acc_ref[:, s] = acc_ref[:, s] + jnp.sum(
                             jnp.where(sel, val, 0), axis=1)
-                        if emit_values:
-                            vx_ref[:, s] = vx_ref[:, s] + jnp.sum(
-                                jnp.where(sel, vx, 0.0), axis=1)
-                            vy_ref[:, s] = vy_ref[:, s] + jnp.sum(
-                                jnp.where(sel, vy, 0.0), axis=1)
-                            vz_ref[:, s] = vz_ref[:, s] + jnp.sum(
-                                jnp.where(sel, vz, 0.0), axis=1)
+
+                if emit_values:
+                    # value deposit WITHOUT 3 more histograms: slots filled
+                    # by this chunk now hold (global idx + 1) in acc; fetch
+                    # their coordinates from the chunk with within-row lane
+                    # shuffles (tpu.dynamic_gather — the only gather Mosaic
+                    # supports: same-shape take_along_axis over EXACTLY one
+                    # 128-lane vreg, so the chunk is walked in 128-lane
+                    # windows). ~order-of-magnitude cheaper than per-slot
+                    # histograms (TUNING.md).
+                    W = 128
+                    new_count = count + jnp.sum(mask.astype(jnp.int32),
+                                                axis=1, keepdims=True)
+                    acc_now = acc_ref[:]          # (T, nsample)
+                    scols = jax.lax.broadcasted_iota(jnp.int32, (T, nsample), 1)
+                    fresh = ((scols >= count) & (scols < new_count)
+                             & (acc_now > 0))
+                    local = acc_now - 1 - base    # in [0, C) where fresh
+                    pad = jnp.zeros((T, W - nsample), jnp.int32)
+                    for w in range(C // W):
+                        lw = local - w * W
+                        inw = fresh & (lw >= 0) & (lw < W)
+
+                        @pl.when(jnp.any(inw))
+                        def _(w=w, lw=lw, inw=inw):
+                            idxpad = jnp.concatenate(
+                                [jnp.clip(lw, 0, W - 1), pad], axis=1)
+                            for plane, ctr_col, ref in (
+                                    (px, cx, vx_ref), (py, cy, vy_ref),
+                                    (pz, cz, vz_ref)):
+                                # pltpu.repeat: both vector.broadcast and a
+                                # zeros+add canonicalize to a broadcast that
+                                # Mosaic rejects feeding dynamic_gather
+                                # ("Invalid input layout")
+                                xw = pltpu.repeat(
+                                    plane[:, w * W:(w + 1) * W], T, axis=0)
+                                g = jnp.take_along_axis(
+                                    xw, idxpad, axis=1,
+                                    mode="promise_in_bounds")[:, :nsample]
+                                ref[:] = jnp.where(inw, g - ctr_col, ref[:])
 
             count_ref[:] = count + jnp.sum(mask.astype(jnp.int32), axis=1,
                                            keepdims=True)
