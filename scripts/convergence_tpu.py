@@ -42,6 +42,9 @@ CONFIG_DICT = {"remove_empty_box": False, "use_3d_nms": True,
 
 TOTAL_STEPS = int(os.environ.get("CONV_STEPS", 6000))
 EVAL_EVERY = int(os.environ.get("CONV_EVAL_EVERY", 500))
+# CONV_BF16=1 runs the model in bfloat16 compute (the --bf16 CLI mode) — the
+# accuracy-side evidence for the mixed-precision speed numbers
+BF16 = os.environ.get("CONV_BF16", "") == "1"
 
 
 def quad_f1(ev, state, batch, np_batch):
@@ -66,7 +69,7 @@ def quad_f1(ev, state, batch, np_batch):
 
 
 def main():
-    cfg = ModelConfig()
+    cfg = ModelConfig(compute_dtype="bfloat16" if BF16 else "float32")
     rng = np.random.default_rng(7)
     # 2.0-2.6 m rooms put ~8 FPS queries/m^2 on the surfaces, i.e. ~2
     # positive queries per wall under the fixed 0.3 m radius (at the
@@ -106,7 +109,8 @@ def main():
                      "supervised losses incl. physical constraints",
            "curve": curve}
     os.makedirs("docs", exist_ok=True)
-    with open("docs/convergence_curve.json", "w") as f:
+    suffix = "_bf16" if BF16 else ""
+    with open(f"docs/convergence_curve{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
 
     lines = ["# Detection-quality convergence (full scale, real TPU)", "",
@@ -131,9 +135,9 @@ def main():
               "A tiny-scale CPU variant of this demonstration runs as "
               "`pytest tests/test_convergence.py -m slow` (raised radii, "
               "documented in the test).", ""]
-    with open("docs/CONVERGENCE.md", "w") as f:
+    with open(f"docs/CONVERGENCE{suffix}.md", "w") as f:
         f.write("\n".join(lines))
-    print("wrote docs/CONVERGENCE.md")
+    print(f"wrote docs/CONVERGENCE{suffix}.md")
 
 
 if __name__ == "__main__":
