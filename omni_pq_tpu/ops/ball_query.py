@@ -248,9 +248,14 @@ def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
     pts = jnp.pad(xyz, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e6)
     ctr = jnp.pad(new_xyz, ((0, 0), (0, s_pad), (0, 0)), constant_values=1e6)
 
-    # Morton-order the centers (pure reordering; padding centers carry the
-    # max code and collect at the end)
-    code = jnp.where(ctr[..., 0] < 5e5, _morton_code(ctr), jnp.uint32(0xFFFFFFFF))
+    # Morton-order the centers (pure reordering; padding slots carry the
+    # max key and collect at the end). Keys are computed on the UNPADDED
+    # centers so the 1e6 padding sentinel cannot skew the quantization range.
+    # (Hilbert keys were tried here — 41% tighter tile bboxes but measured
+    # ~1 ms SLOWER end to end; the chunk extent dominates the overlap count.
+    # See benchmarks/TUNING.md.)
+    code = jnp.pad(_morton_code(new_xyz), ((0, 0), (0, s_pad)),
+                   constant_values=jnp.uint32(0xFFFFFFFF))
     corder = jnp.argsort(code, axis=1)
     ctr = jnp.take_along_axis(ctr, corder[..., None], axis=1)
 
