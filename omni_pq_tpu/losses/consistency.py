@@ -65,8 +65,11 @@ def _class_consistency(cls_scores, ema_cls_scores, map_ind, batchmean=False):
 
 def _decode_size(size_scores, size_residuals, mean_size_arr):
     cls = jnp.argmax(size_scores, -1)
-    res = jnp.take_along_axis(size_residuals,
-                              cls[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+    # one-hot select instead of the per-row gather (the TPU gather floor is
+    # ~11.5 ns/row; see losses/supervised.py:select_last_dim)
+    oh = cls[..., None] == jnp.arange(size_residuals.shape[2],
+                                      dtype=jnp.int32)
+    res = jnp.sum(jnp.where(oh[..., None], size_residuals, 0.0), axis=2)
     return jnp.asarray(mean_size_arr)[cls] + res
 
 

@@ -32,13 +32,25 @@ QUAD_CLS_WEIGHTS = (0.4, 0.6)
 PC_EXCLUDED_CLASSES = (5, 6, 8, 11)
 
 
+def select_last_dim(x, labels):
+    """x[..., labels] along the trailing (small class) axis via a one-hot
+    reduction. XLA's per-row gather costs ~11.5 ns/ROW on TPU regardless of
+    row size (benchmarks/TUNING.md), so at (B, K, C~18) shapes the gather is
+    ~0.35 ms while the one-hot select is ~us-scale; the step has ~10 of
+    these across the 7 prefixes."""
+    C = x.shape[-1]
+    onehot = labels[..., None].astype(jnp.int32) == jnp.arange(C, dtype=jnp.int32)
+    return jnp.sum(jnp.where(onehot, x, 0), axis=-1)
+
+
 def weighted_ce(logits, labels, weights=None):
     """Per-element cross entropy -w[y]*log_softmax(x)[y] (torch CE 'none')."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
-                             axis=-1)[..., 0]
+    ll = select_last_dim(logp, labels)
     if weights is not None:
-        w = jnp.asarray(weights, dtype=logits.dtype)[labels]
+        wt = jnp.asarray(weights, dtype=logits.dtype)
+        w = select_last_dim(jnp.broadcast_to(wt, labels.shape + wt.shape),
+                            labels)
         return -w * ll
     return -ll
 
@@ -128,8 +140,8 @@ def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
         nh = ep[f"{prefix}heading_scores"].shape[-1]
         hrl = jnp.take_along_axis(ep["heading_residual_label"], assignment, axis=1)
         hrl_norm = hrl / (jnp.pi / nh)
-        pred_hr = jnp.take_along_axis(
-            ep[f"{prefix}heading_residuals_normalized"], hcl[..., None], axis=2)[..., 0]
+        pred_hr = select_last_dim(
+            ep[f"{prefix}heading_residuals_normalized"], hcl)
         heading_reg_loss = jnp.sum(smoothl1_loss(pred_hr - hrl_norm) * labelf) / n_pos
 
         # size
@@ -137,9 +149,11 @@ def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
         size_cls_loss = jnp.sum(weighted_ce(
             ep[f"{prefix}size_scores"], scl) * labelf) / n_pos
         srl = jnp.take_along_axis(ep["size_residual_label"], a3, axis=1)  # (B,K,3)
-        pred_sr = jnp.take_along_axis(
-            ep[f"{prefix}size_residuals_normalized"],
-            scl[..., None, None].repeat(3, -1), axis=2)[:, :, 0]  # (B,K,3)
+        sr_norm = ep[f"{prefix}size_residuals_normalized"]  # (B,K,C,3)
+        oh_scl = (scl[..., None] == jnp.arange(sr_norm.shape[2],
+                                               dtype=jnp.int32))
+        pred_sr = jnp.sum(jnp.where(oh_scl[..., None], sr_norm, 0.0),
+                          axis=2)  # (B,K,3)
         mean_size = jnp.asarray(mean_size_arr)[scl]  # (B,K,3)
         srl_norm = srl / mean_size
         size_reg_loss = jnp.sum(
@@ -228,9 +242,10 @@ def compute_physical_constraints_loss(ep: Dict, mean_size_arr):
     pred_center = ep[f"{prefix}center"]  # (B,K,3)
     size_scores = ep[f"{prefix}size_scores"]
     pred_size_class = jnp.argmax(size_scores, -1)  # (B,K)
-    pred_size_res = jnp.take_along_axis(
-        ep[f"{prefix}size_residuals"],
-        pred_size_class[..., None, None].repeat(3, -1), axis=2)[:, :, 0]
+    sres = ep[f"{prefix}size_residuals"]  # (B,K,C,3)
+    oh_psc = (pred_size_class[..., None] == jnp.arange(sres.shape[2],
+                                                       dtype=jnp.int32))
+    pred_size_res = jnp.sum(jnp.where(oh_psc[..., None], sres, 0.0), axis=2)
     box_size = jnp.asarray(mean_size_arr)[pred_size_class] + pred_size_res
 
     objectness = ep[f"{prefix}objectness_label"].astype(jnp.float32)
