@@ -55,8 +55,7 @@ def _class_consistency(cls_scores, ema_cls_scores, map_ind, batchmean=False):
     """KL(student aligned || teacher), x2 (:99-111)."""
     logp = jax.nn.log_softmax(cls_scores, axis=2)
     ema_p = jax.nn.softmax(ema_cls_scores, axis=2)
-    logp_aligned = jnp.take_along_axis(
-        logp, map_ind[..., None].repeat(logp.shape[-1], -1), axis=1)
+    logp_aligned = jnp.take_along_axis(logp, map_ind[..., None], axis=1)
     kl = ema_p * (jnp.log(jnp.clip(ema_p, 1e-12)) - logp_aligned)
     if batchmean:
         return 2.0 * jnp.sum(kl) / cls_scores.shape[0]
@@ -74,14 +73,13 @@ def _decode_size(size_scores, size_residuals, mean_size_arr):
 
 
 def _size_consistency(size, ema_size, map_ind, confidence):
-    aligned = jnp.take_along_axis(size, map_ind[..., None].repeat(size.shape[-1], -1),
-                                  axis=1)
+    aligned = jnp.take_along_axis(size, map_ind[..., None], axis=1)
     dist = jnp.sum((aligned - ema_size) ** 2, axis=2) * confidence
     return _quantile_clip_mean(dist)
 
 
 def _normal_consistency(normal, ema_normal, map_ind, confidence):
-    aligned = jnp.take_along_axis(normal, map_ind[..., None].repeat(3, -1), axis=1)
+    aligned = jnp.take_along_axis(normal, map_ind[..., None], axis=1)
     cos = jnp.sum(aligned[..., :2] * ema_normal[..., :2], -1) / (
         jnp.linalg.norm(aligned[..., :2], axis=-1)
         * jnp.linalg.norm(ema_normal[..., :2], axis=-1) + 1e-8)

@@ -68,9 +68,11 @@ def compute_vote_loss(ep: Dict) -> jnp.ndarray:
 
     seed_gt_votes_mask = jnp.take_along_axis(ep["vote_label_mask"], seed_inds,
                                              axis=1)  # (B, num_seed)
-    seed_gt_votes = jnp.take_along_axis(
-        ep["vote_label"], seed_inds[..., None].repeat(3 * GT_VOTE_FACTOR, -1),
-        axis=1)
+    # row gather with a single index per row (an index expanded across the 9
+    # channels makes XLA gather per element instead of per row — ~5x slower
+    # at the TPU per-row gather floor)
+    seed_gt_votes = jnp.take_along_axis(ep["vote_label"],
+                                        seed_inds[..., None], axis=1)
     seed_gt_votes = seed_gt_votes + jnp.tile(ep["seed_xyz"], (1, 1, 3))
 
     vote_r = vote_xyz.reshape(B * num_seed, -1, 3)
