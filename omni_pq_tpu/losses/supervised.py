@@ -114,7 +114,7 @@ def compute_objectness_and_box_loss(ep: Dict, mean_size_arr, num_layer: int,
                                       ep["num_gt_boxes"], near, far)
     labelf = label.astype(jnp.float32)
     n_pos = jnp.sum(labelf) + 1e-6
-    a3 = assignment[..., None].repeat(3, -1)
+    a3 = assignment[..., None]  # broadcastable: row gather, not per-element
 
     objectness_sum = 0.0
     box_sum = 0.0
@@ -189,8 +189,8 @@ def compute_quad_losses(ep: Dict, num_layer: int, stats: Dict,
                                       ep["num_gt_quads"], near, far)
     labelf = label.astype(jnp.float32)
     n_pos = jnp.sum(labelf) + 1e-6
-    a3 = assignment[..., None].repeat(3, -1)
-    a2 = assignment[..., None].repeat(2, -1)
+    a3 = assignment[..., None]  # broadcastable: row gather, not per-element
+    a2 = assignment[..., None]
 
     score_sum, center_sum, vector_sum, size_sum = 0.0, 0.0, 0.0, 0.0
     for prefix in prefixes_for(num_layer):
