@@ -133,6 +133,21 @@ class TestBallQuery:
             np.testing.assert_allclose(np.asarray(grouped), want,
                                        rtol=1e-6, atol=1e-6)
 
+    def test_fused_group_overflowing_balls(self, rng):
+        # every ball has FAR more than nsample in-radius points: exercises
+        # slot capping + the first-hit fill in both deposit paths
+        n, s, k = 2000, 200, 8
+        xyz = (rng.uniform(size=(1, n, 3)).astype(np.float32) * 0.3 + 1.0)
+        ctr = xyz[:, :: n // s][:, :s]
+        idx, grouped = ops.ball_query_group(5.0, k, jnp.asarray(xyz),
+                                            jnp.asarray(ctr))
+        want_idx = np.asarray(ops.ball_query_ref(5.0, k, jnp.asarray(xyz),
+                                                 jnp.asarray(ctr)))
+        np.testing.assert_array_equal(np.asarray(idx), want_idx)
+        want = xyz[0][want_idx[0]] - ctr[0][:, None, :]
+        np.testing.assert_allclose(np.asarray(grouped)[0], want,
+                                   rtol=1e-6, atol=1e-6)
+
     def test_fused_group_vjp(self, rng):
         # the custom VJP must equal autodiff of the unfused composition
         xyz = jnp.asarray(rng.uniform(size=(2, 300, 3)).astype(np.float32))
