@@ -37,7 +37,11 @@ def select_last_dim(x, labels):
     reduction. XLA's per-row gather costs ~11.5 ns/ROW on TPU regardless of
     row size (benchmarks/TUNING.md), so at (B, K, C~18) shapes the gather is
     ~0.35 ms while the one-hot select is ~us-scale; the step has ~10 of
-    these across the 7 prefixes."""
+    these across the 7 prefixes.
+
+    Assumes labels in [0, C): an out-of-range/negative label contributes 0
+    (a clamping gather would instead pick an edge class). All callers pass
+    in-range labels (GT labels are masked before use)."""
     C = x.shape[-1]
     onehot = labels[..., None].astype(jnp.int32) == jnp.arange(C, dtype=jnp.int32)
     return jnp.sum(jnp.where(onehot, x, 0), axis=-1)

@@ -125,9 +125,12 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
                 {"params": ema_params, "batch_stats": ema_batch_stats},
                 ema_inputs, train=True, rngs={"dropout": rng_ema_drop},
                 mutable=["batch_stats"])
-            ema_ep = jax.lax.stop_gradient(
-                jax.tree_util.tree_map(lambda a: a.astype(jnp.float32),
-                                       ema_ep))
+            # float32-ify only inexact leaves: ema_ep also carries integer
+            # endpoint arrays (seed_inds/fp2_inds), which must stay integral
+            # in case a consumer ever uses them as gather indices
+            ema_ep = jax.lax.stop_gradient(jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if jnp.issubdtype(a.dtype, jnp.inexact) else a, ema_ep))
             new_ema_batch_stats = ema_mut["batch_stats"]
             cons_ep = dict(ep)
             for key in ["flip_x_axis", "flip_y_axis", "rot_mat", "scale"]:

@@ -13,9 +13,12 @@ import os
 def enable(cache_dir: str | None = None) -> None:
     import jax
     try:
+        # repo-anchored default so the cache is shared regardless of the
+        # launch directory (a cwd-anchored default fragments per entry point)
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
         d = cache_dir or os.environ.get(
-            "OMNI_PQ_COMPILE_CACHE",
-            os.path.join(os.getcwd(), ".jax_cache"))
+            "OMNI_PQ_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(d))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

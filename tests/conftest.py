@@ -19,14 +19,11 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: CPU jit compiles dominate suite wall time and
 # repeat identically across runs (same TINY shapes); measured big win on the
 # TPU tunnel and applies to CPU compiles too
-try:
-    _cache = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    os.makedirs(_cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from omni_pq_tpu.utils import compile_cache  # noqa: E402
+
+compile_cache.enable()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
