@@ -292,7 +292,8 @@ def main(argv=None):
             for key in ("total_loss", "loss", "vote_loss", "objectness_loss",
                         "box_loss", "quad_loss_sum", "consistency_loss",
                         "weighted_consistency_loss",
-                        "gamma_mixture_filter_loss", "grad_norm"):
+                        "gamma_mixture_filter_loss", "arkit_pc_loss",
+                        "arkit_collisions", "grad_norm"):
                 if key in stats:
                     stat_acc[key] = stat_acc.get(key, 0.0) + stats[key]
             n_acc += 1

@@ -1,14 +1,23 @@
-"""Worker process for the 2-process multi-host test (not a pytest module).
+"""Worker process for the 2-process multi-host tests (not a pytest module).
 
 Usage: python tests/_multihost_worker.py <proc_id> <num_procs> <port> <out>
+       [mode]
 
 Each process: jax.distributed.initialize on localhost, 2 virtual CPU devices
-per process (4-device global 'data' mesh), shards a deterministic synthetic
-dataset with the Loader's DistributedSampler-equivalent striding, feeds its
-local slice via make_global_batch, and runs 2 full train steps. Writes the
-replicated loss/grad-norm and a parameter checksum to <out>/proc<i>.json —
-the test asserts both processes agree with each other and with a
-single-process run over the same global batch."""
+per process (4-device global 'data' mesh).
+
+mode "train" (default): shards a deterministic synthetic dataset with the
+Loader's DistributedSampler-equivalent striding, feeds its local slice via
+make_global_batch, and runs 2 full train steps. Writes the replicated
+loss/grad-norm and a parameter checksum to <out>/proc<i>.json — the test
+asserts both processes agree with each other and with a single-process run
+over the same global batch.
+
+mode "eval": runs cli.train.evaluate over a sharded val loader whose LAST
+local batch does not fill the local device count (6 scenes, 2 shards, local
+bs 2 -> batches of 2 then 1), exercising the pad / allgather / _trim branch
+(cli/train.py multiproc eval; reference equivalent train.py:609-768). Writes
+the full-set quad F1 — the test asserts it equals a single-process run."""
 import json
 import os
 import sys
@@ -17,6 +26,7 @@ import sys
 def main():
     proc_id, nproc = int(sys.argv[1]), int(sys.argv[2])
     port, outdir = sys.argv[3], sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 
     # force exactly 2 virtual devices per process (override any inherited
     # pytest XLA_FLAGS, which use 8)
@@ -42,13 +52,14 @@ def main():
     from omni_pq_tpu.train import (TrainFlags, OptimizerConfig,
                                    create_train_state, make_train_step)
 
-    cfg = ModelConfig(
-        num_proposal=16, num_quad_proposal=16, num_decoder_layers=2,
-        hidden_dim=32, nhead=4, dim_feedforward=64, backbone_width=1,
-        backbone_npoints=(128, 64, 32, 16), backbone_nsamples=(8, 8, 8, 8),
-        vote_aggregation_nsample=8, num_points=512)
+    from tests.util import TINY as cfg
     model = PQTransformer(cfg)
     mesh = make_mesh()
+
+    if mode == "eval":
+        run_eval(proc_id, nproc, outdir, cfg, model, mesh)
+        jax.distributed.shutdown()
+        return
 
     ds = SyntheticDataset(8, cfg.num_points, seed=0, num_objects=3)
     loader = Loader(ds, batch_size=4 // nproc, shuffle=False,
@@ -75,6 +86,42 @@ def main():
     with open(os.path.join(outdir, f"proc{proc_id}.json"), "w") as f:
         json.dump(out, f)
     jax.distributed.shutdown()
+
+
+def run_eval(proc_id, nproc, outdir, cfg, model, mesh):
+    """Sharded-eval agreement: full-set F1 from the multiproc path."""
+    import argparse
+    import logging
+
+    import numpy as np
+    import jax
+    from omni_pq_tpu.cli.train import evaluate
+    from omni_pq_tpu.config import DatasetConfig
+    from omni_pq_tpu.data.loader import Loader
+    from omni_pq_tpu.data.synthetic import SyntheticDataset
+    from omni_pq_tpu.parallel import replicate
+    from omni_pq_tpu.train import OptimizerConfig, create_train_state
+
+    ds = SyntheticDataset(6, cfg.num_points, seed=3, num_objects=3)
+    # 3 scenes per shard at local bs 2 -> second local batch has 1 scene,
+    # below the 2 local devices: exercises pad + _trim
+    loader = Loader(ds, batch_size=2, shuffle=False, drop_last=False,
+                    shard_id=proc_id, num_shards=nproc)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jax.numpy.zeros((2, cfg.num_points, 3), jax.numpy.float32))
+    state = replicate(create_train_state(variables,
+                                         OptimizerConfig(total_steps=10)),
+                      mesh)
+    args = argparse.Namespace(ap_iou_thresholds=[0.25], faster_eval=False,
+                              nms_iou_quad=0.25, dump_result=False,
+                              log_dir=outdir)
+    f1 = evaluate(args, model, state, loader, DatasetConfig(),
+                  logging.getLogger("eval"), mesh=mesh)
+    param_sum = float(sum(np.abs(np.asarray(x)).sum()
+                          for x in jax.tree_util.tree_leaves(state.params)))
+    with open(os.path.join(outdir, f"eval{proc_id}.json"), "w") as f:
+        json.dump({"f1": f1, "param_sum": param_sum}, f)
 
 
 if __name__ == "__main__":

@@ -41,6 +41,43 @@ def test_train_then_eval(tmp_path):
     assert np.isfinite(f1)
 
 
+def test_train_arkit_e2e(tmp_path):
+    """--arkit omni-supervised smoke (VERDICT r2 #5): ScanNet labeled fixture
+    + ARKit weak/valid fixtures on disk, the arkit pc loss engaged with a
+    nonzero weight, and the valid-split quad-F1 eval path executed end to
+    end. Reference path: train.py:230-253 + arkitscenes_dataset.py:202-231."""
+    import json
+
+    from tests.test_data import write_fake_scannet, write_fake_arkit
+
+    rng = np.random.default_rng(0)
+    scannet_root = str(tmp_path / "scannet")
+    arkit_root = str(tmp_path / "arkit")
+    # batch is padded up to the 8 virtual test devices -> every split needs
+    # >= 8 + 1 scans for one full local batch
+    write_fake_scannet(scannet_root, [f"scene{i:04d}_00" for i in range(9)],
+                       rng)
+    write_fake_arkit(arkit_root, [f"4104819{i}" for i in range(8)], rng,
+                     valid_scans=["47331587", "47331588"])
+    log_dir = str(tmp_path / "run")
+    max_f1, _ = train_cli.main([
+        "--smoke", "--num_point", "512", "--batch_size", "2",
+        "--max_epoch", "1", "--end_proportion", "1.0", "--val_freq", "1",
+        "--save_freq", "99", "--print_freq", "1", "--log_dir", log_dir,
+        "--faster_eval", "--ema", "--pc_loss", "--arkit",
+        "--lambda_arkit_pc_loss", "1.0",
+        "--data_root", scannet_root, "--arkit_data_root", arkit_root])
+    recs = [json.loads(l) for l in open(os.path.join(log_dir,
+                                                     "metrics.jsonl"))]
+    # the arkit pc loss actually engaged (nonzero with untrained proposals
+    # vs random weak boxes) and the ARKit valid-split F1 eval ran
+    ark = [r["train/arkit_pc_loss"] for r in recs
+           if "train/arkit_pc_loss" in r]
+    assert ark and any(v != 0.0 for v in ark), recs
+    assert any("eval/quad_f1" in r for r in recs)
+    assert np.isfinite(max_f1)
+
+
 def test_infer_cli(tmp_path):
     # train a tiny model for 1 epoch, then run inference on a raw cloud
     log_dir = str(tmp_path / "run")

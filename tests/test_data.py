@@ -142,13 +142,13 @@ class TestLoader:
         assert set(i0).isdisjoint(i1)
 
 
-def write_fake_arkit(root, scans, rng, n_verts=3000):
+def write_fake_arkit(root, scans, rng, n_verts=3000, valid_scans=()):
     os.makedirs(f"{root}/dataset/3dod/Training", exist_ok=True)
     os.makedirs(f"{root}/data/annotations", exist_ok=True)
     with open(f"{root}/dataset/train_filtered.txt", "w") as f:
         f.write("\n".join(scans))
-    for scan in scans:
-        d = f"{root}/dataset/3dod/Training/{scan}/{scan}_offline_prepared_data"
+
+    def write_scan(d, scan):
         os.makedirs(d, exist_ok=True)
         np.save(f"{d}/{scan}_pc.npy",
                 rng.uniform(-3, 3, (n_verts, 3)).astype(np.float32))
@@ -157,6 +157,29 @@ def write_fake_arkit(root, scans, rng, n_verts=3000):
         boxes = {"bboxes": rng.uniform(0.3, 2.0, (4, 7)),
                  "types": ["chair", "table", "bed", "sofa"]}
         np.save(f"{d}/{scan}_bbox.npy", boxes, allow_pickle=True)
+
+    for scan in scans:
+        write_scan(f"{root}/dataset/3dod/Training/{scan}/"
+                   f"{scan}_offline_prepared_data", scan)
+    if valid_scans:
+        os.makedirs(f"{root}/dataset/3dod/Validation", exist_ok=True)
+        with open(f"{root}/dataset/valid_filtered.txt", "w") as f:
+            f.write("\n".join(valid_scans))
+        with open(f"{root}/data/file.txt", "w") as f:
+            f.write("\n".join(f"{s},anno_{s}" for s in valid_scans))
+        for scan in valid_scans:
+            write_scan(f"{root}/dataset/3dod/Validation/{scan}/"
+                       f"{scan}_offline_prepared_data", scan)
+            labels = []
+            for _ in range(3):
+                c = rng.uniform(-2, 2, 3)
+                dim = sorted(rng.uniform(0.1, 3.0, 2))
+                labels.append({"box3d": {
+                    "location": {"x": c[0], "y": c[1], "z": c[2]},
+                    "dimension": {"width": dim[1], "length": dim[0],
+                                  "height": float(rng.uniform(1.5, 2.5))}}})
+            with open(f"{root}/data/annotations/anno_{scan}.json", "w") as f:
+                json.dump({"labels": labels}, f)
 
 
 class TestARKit:
