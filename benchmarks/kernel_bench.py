@@ -59,6 +59,8 @@ def main():
     c2 = ops.gather_points(p2, ops.fps(p2, 1024))
     f2 = jax.jit(lambda x, c: ops.ball_query(0.4, 32, x, c))
     rows.append(("ball_query sa2 (2048x1024x32)", t_block(f2, p2, c2), ""))
+    fg = jax.jit(lambda x, c: ops.ball_query_group(0.2, 64, x, c))
+    rows.append(("ball_query_group sa1 (fused)", t_block(fg, pc, c1), ""))
     f3 = jax.jit(lambda u, k: ops.three_nn(u, k))
     rows.append(("three_nn (1024x512)", t_block(f3, c2[:, :1024], c2[:, :512]), ""))
 

@@ -215,6 +215,9 @@ def main():
         if vals:
             print(f"{arm}: best-F1 per seed {vals} median "
                   f"{vals[len(vals) // 2]:.3f}", flush=True)
+    import subprocess
+    subprocess.run([sys.executable, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "semi_sup_report.py")])
 
 
 if __name__ == "__main__":

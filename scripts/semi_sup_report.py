@@ -1,0 +1,115 @@
+"""Summarize docs/semi_sup_ab.json into docs/SEMI_SUP.md.
+
+Run after scripts/semi_sup_ab.py (auto-invoked is fine too):
+    python scripts/semi_sup_report.py
+"""
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("AB_OUT", "docs/semi_sup_ab.json")
+DST = "docs/SEMI_SUP.md"
+
+ARM_LABEL = {
+    "sup": "supervised-only",
+    "ema": "+ EMA mean-teacher consistency",
+    "gamma": "+ EMA + gamma-mixture pseudo-labels (fitted criterion)",
+}
+
+
+def main():
+    d = json.load(open(SRC))
+    runs = d["runs"]
+    arms = [a for a in ("sup", "ema", "gamma")
+            if any(r["arm"] == a for r in runs)]
+    seeds = sorted({r["seed"] for r in runs})
+    by = {(r["arm"], r["seed"]): r for r in runs}
+
+    lines = [
+        "# Semi-supervised A/B: does the paper's machinery move HELD-OUT F1?",
+        "",
+        "The reference's central claim (README.md:108-116) is that EMA",
+        "consistency + gamma-mixture pseudo-labels beat the supervised",
+        "baseline at low label rates (e.g. F1 29.08 vs 22.43 @ 5% labels).",
+        "ScanNet is not on disk in this environment, so this runs the",
+        "same-shaped experiment at full model scale (40k points, 256+256",
+        "proposals, 6 decoder layers) on one real TPU v5e chip with",
+        "synthetic rooms (scripts/semi_sup_ab.py):",
+        "",
+        f"- **{d['setup']['labeled']} labeled rooms** + "
+        f"**{d['setup']['weak']} weak (unlabeled) rooms**, "
+        f"**{d['setup']['val']} held-out rooms** fixed across seeds/arms",
+        f"- {d['steps']} steps per arm, bs 3 labeled + 3 weak "
+        "(train.sh regime: AdamW, warmup-cosine, grad clip, EMA decay "
+        "0.999, consistency weight 0.05 with sigmoid rampup over the first "
+        "third, lambda_metric_* = 5e-4)",
+        "- metric: held-out quad corner-F1 (ap_helper_pq.py:695-736 "
+        "semantics: NMS, 0.5 confidence gate, 0.40 m corner matching, "
+        "ceiling/floor synthesis)",
+        "- per-arm score = best F1 over the eval trajectory (max of "
+        "student and EMA-teacher evals — the reference's best/ema_best "
+        "checkpoint protocol)",
+        "",
+        "## Result (best held-out F1, median over seeds)",
+        "",
+        "| arm | " + " | ".join(f"seed {s}" for s in seeds)
+        + " | median |",
+        "|---" * (len(seeds) + 2) + "|",
+    ]
+    med = {}
+    for arm in arms:
+        vals = [by[(arm, s)]["best_f1"] for s in seeds if (arm, s) in by]
+        med[arm] = float(np.median(vals)) if vals else float("nan")
+        row = " | ".join(f"{by[(arm, s)]['best_f1']:.3f}"
+                         if (arm, s) in by else "—" for s in seeds)
+        lines.append(f"| {ARM_LABEL[arm]} | {row} | **{med[arm]:.3f}** |")
+
+    lines += ["", "## Final-step held-out F1 (student / EMA teacher)", "",
+              "| arm | " + " | ".join(f"seed {s}" for s in seeds) + " |",
+              "|---" * (len(seeds) + 1) + "|"]
+    for arm in arms:
+        cells = []
+        for s in seeds:
+            r = by.get((arm, s))
+            if r is None:
+                cells.append("—")
+            elif r.get("final_f1_ema") is not None:
+                cells.append(f"{r['final_f1']:.3f} / {r['final_f1_ema']:.3f}")
+            else:
+                cells.append(f"{r['final_f1']:.3f}")
+        lines.append(f"| {ARM_LABEL[arm]} | " + " | ".join(cells) + " |")
+
+    lines += ["", "## Trajectories (held-out F1 by step)", ""]
+    for arm in arms:
+        for s in seeds:
+            r = by.get((arm, s))
+            if r is None:
+                continue
+            pts = [f"{c['step']}:{max(c['f1'], c.get('f1_ema', 0.0)):.2f}"
+                   for c in r["curve"][1:]]
+            lines.append(f"- `{arm}` seed {s}: " + " ".join(pts))
+    lines += [
+        "",
+        "## Reading",
+        "",
+        f"- supervised-only median best-F1: **{med.get('sup', float('nan')):.3f}**",
+        f"- +EMA median best-F1: **{med.get('ema', float('nan')):.3f}**",
+        f"- +EMA+gamma median best-F1: **{med.get('gamma', float('nan')):.3f}**",
+        "",
+        "A tiny-scale mechanics variant runs as "
+        "`pytest tests/test_semi_sup_ab.py -m slow`.",
+        "",
+    ]
+    with open(DST, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {DST}")
+    for arm in arms:
+        print(f"{arm}: median best-F1 {med[arm]:.3f}")
+
+
+if __name__ == "__main__":
+    main()
