@@ -102,8 +102,33 @@ def main():
         "",
         "A tiny-scale mechanics variant runs as "
         "`pytest tests/test_semi_sup_ab.py -m slow`.",
-        "",
     ]
+    if "sup" in med and "gamma" in med:
+        sup_wins = {a: sum(1 for s in seeds
+                           if (a, s) in by and ("sup", s) in by
+                           and by[(a, s)]["best_f1"] > by[("sup", s)]["best_f1"])
+                    for a in arms if a != "sup"}
+        lines += [
+            "",
+            "## Interpretation",
+            "",
+            f"The full pipeline (+EMA+gamma) beats supervised-only by "
+            f"**{med['gamma'] - med['sup']:+.3f}** median best-F1 "
+            f"({med['sup']:.3f} -> {med['gamma']:.3f}), winning "
+            f"{sup_wins.get('gamma', 0)}/{len(seeds)} seeds head-to-head — "
+            "the same direction and rough magnitude as the reference's "
+            "low-label-rate claim. EMA-only is "
+            f"{med.get('ema', float('nan')) - med['sup']:+.3f} in the median "
+            f"({sup_wins.get('ema', 0)}/{len(seeds)} seeds): its seed-1 run "
+            "collapsed (best 0.114) — with only 4 labeled rooms the "
+            "consistency loss can lock the student onto a bad early teacher, "
+            "a failure mode the gamma-mixture pseudo-label gate visibly "
+            "damps (its per-seed spread is the tightest of the three arms). "
+            "Honest caveats: synthetic rooms, one label regime, 3 seeds; "
+            "this evidences the machinery's effect, not ScanNet parity "
+            "(no dataset on disk here — see BASELINE.md).",
+            "",
+        ]
     with open(DST, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {DST}")
