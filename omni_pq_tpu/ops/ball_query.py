@@ -123,13 +123,28 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
         @pl.when(jnp.any(mask))
         def _():
             count = count_ref[:]
-            # inclusive prefix-sum along lanes as an MXU matmul with an
-            # upper triangular ones matrix
-            rows = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-            colsq = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-            tri = (rows <= colsq).astype(jnp.float32)
-            maskf = mask.astype(jnp.float32)
-            incl = jnp.dot(maskf, tri, preferred_element_type=jnp.float32)
+            # inclusive prefix-sum along lanes as windowed MXU matmuls with
+            # an upper-triangular ones matrix: 128-lane windows cut the
+            # matmul FLOPs 8x vs one (C, C) triangle (rank values chain
+            # across windows through a running row offset), and bf16
+            # operands run the MXU at 2x — exact, since products are 0/1
+            # and accumulation stays f32 (counts <= C fit bf16's 8-bit
+            # mantissa times f32 accumulate)
+            RW = 128
+            rows = jax.lax.broadcasted_iota(jnp.int32, (RW, RW), 0)
+            colsq = jax.lax.broadcasted_iota(jnp.int32, (RW, RW), 1)
+            tri = (rows <= colsq).astype(jnp.bfloat16)
+            maskf = mask.astype(jnp.bfloat16)
+            offset = jnp.zeros((T, 1), jnp.float32)
+            parts = []
+            for w in range(C // RW):
+                mw = maskf[:, w * RW:(w + 1) * RW]
+                incl_w = jnp.dot(mw, tri,
+                                 preferred_element_type=jnp.float32)
+                parts.append(incl_w + offset)
+                offset = offset + jnp.sum(
+                    mw.astype(jnp.float32), axis=1, keepdims=True)
+            incl = jnp.concatenate(parts, axis=1)
             rank = incl.astype(jnp.int32) - mask.astype(jnp.int32)
             slot = count + rank
             validhit = mask & (slot < nsample)
