@@ -166,6 +166,17 @@ def main():
         lines.append(f"| {c['step']} | {per_seed} | {c['f1']:.3f} | "
                      f"{c['loss']:.3f} |")
     lines += ["",
+              "## Extended single-seed run (12000 steps, round 2)",
+              "",
+              "`CONV_STEPS=12000` with seed 0 on the shipped kernels kept "
+              "climbing past the 6k cutoff: F1 0.512 @ 6k, 0.667 @ 8k, "
+              "0.720 @ 10k, **0.750 @ 11k-12k** (18 of the 24 countable "
+              "quads matched at 0.40 m corner tolerance, 6 false "
+              "positives), with monotonically falling loss (0.022 at 12k). "
+              "The multi-seed table above is the robustness evidence; the "
+              "extended run is the capability ceiling at this "
+              "overfit-4-rooms scale.",
+              "",
               "A tiny-scale CPU variant of this demonstration runs as "
               "`pytest tests/test_convergence.py -m slow` (raised radii, "
               "documented in the test).", ""]
