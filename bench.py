@@ -41,7 +41,15 @@ def main():
 
     log("backend:", jax.default_backend(), jax.devices())
     on_tpu = jax.default_backend() == "tpu"
-    cfg = ModelConfig()
+    # experiment overrides (measured in benchmarks/TUNING.md):
+    #   OMNI_PQ_BF16=1  -> bfloat16 Dense/MXU compute (the --bf16 CLI mode)
+    #   OMNI_PQ_REMAT=1 -> remat the SA-layer MLPs (bytes-for-FLOPs trade)
+    import os
+    cfg = ModelConfig(
+        compute_dtype=("bfloat16" if os.environ.get("OMNI_PQ_BF16") == "1"
+                       else "float32"),
+        remat_sa=os.environ.get("OMNI_PQ_REMAT") == "1")
+    log("compute_dtype:", cfg.compute_dtype, "remat_sa:", cfg.remat_sa)
     B = 3  # labeled scenes (reference train.sh batch_size)
     N = cfg.num_points
     model = PQTransformer(cfg)

@@ -95,6 +95,12 @@ class ModelConfig:
     # mixed precision: 'float32' or 'bfloat16' compute for the Dense/MXU
     # path (params stay f32; BatchNorm/softmax/losses stay f32)
     compute_dtype: str = "float32"
+    # rematerialize the SA-layer SharedMLP+max-pool in the backward pass:
+    # recomputes the (B, npoint, nsample, C) intermediates (the step's
+    # largest activations) instead of saving them to HBM — a bytes-for-FLOPs
+    # trade on a step that rides the HBM roofline (benchmarks/ROOFLINE.md).
+    # Numerics are unchanged (same forward values, same gradients).
+    remat_sa: bool = False
     # Deviation from the reference (documented): QuadPredictHead normalizes
     # predicted normals per-vector. The reference divides by the *global*
     # tensor norm (models/pq_transformer.py:112-113) — per-vector is the

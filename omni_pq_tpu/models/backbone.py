@@ -31,6 +31,7 @@ class Pointnet2Backbone(nn.Module):
     # (npoint per SA layer); shrink for small-scale tests
     out_dim: int = 288
     dtype: str = "float32"
+    remat: bool = False
     npoints: tuple = (2048, 1024, 512, 256)
     nsamples: tuple = (64, 32, 16, 16)
     radii: tuple = (0.2, 0.4, 0.8, 1.2)
@@ -46,19 +47,23 @@ class Pointnet2Backbone(nn.Module):
         sa1 = SAModuleVotes(npoint=self.npoints[0], radius=self.radii[0],
                             nsample=self.nsamples[0],
                             mlp_channels=[64 * w] * d + [128 * w],
-                            normalize_xyz=True, dtype=self.dtype, name="sa1")
+                            normalize_xyz=True, dtype=self.dtype,
+                            remat=self.remat, name="sa1")
         sa2 = SAModuleVotes(npoint=self.npoints[1], radius=self.radii[1],
                             nsample=self.nsamples[1],
                             mlp_channels=[128 * w] * d + [256 * w],
-                            normalize_xyz=True, dtype=self.dtype, name="sa2")
+                            normalize_xyz=True, dtype=self.dtype,
+                            remat=self.remat, name="sa2")
         sa3 = SAModuleVotes(npoint=self.npoints[2], radius=self.radii[2],
                             nsample=self.nsamples[2],
                             mlp_channels=[128 * w] * d + [256 * w],
-                            normalize_xyz=True, dtype=self.dtype, name="sa3")
+                            normalize_xyz=True, dtype=self.dtype,
+                            remat=self.remat, name="sa3")
         sa4 = SAModuleVotes(npoint=self.npoints[3], radius=self.radii[3],
                             nsample=self.nsamples[3],
                             mlp_channels=[128 * w] * d + [256 * w],
-                            normalize_xyz=True, dtype=self.dtype, name="sa4")
+                            normalize_xyz=True, dtype=self.dtype,
+                            remat=self.remat, name="sa4")
         fp1 = FPModule(mlp_channels=[256 * w, 256 * w], dtype=self.dtype, name="fp1")
         fp2 = FPModule(mlp_channels=[256 * w, self.out_dim], dtype=self.dtype, name="fp2")
 

@@ -29,6 +29,22 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+def _mlp_pool(mdl: "SAModuleVotes", grouped, train):
+    """SharedMLP + nsample max-pool, split out so SAModuleVotes can remat it.
+
+    The (B, npoint, nsample, C) MLP intermediates are the largest activations
+    in the train step (sa1: ~1.6 GB of backward saves in f32); under
+    `nn.remat` they are recomputed from the tiny grouped input instead of
+    written to + read back from HBM — a bytes-for-FLOPs trade in the step's
+    favor, since the step rides the HBM roofline (benchmarks/ROOFLINE.md).
+    First arg is the module so flax lifts the scope: param paths stay
+    `<sa>/mlp/layer*` bit-identical to the unrematted tree.
+    """
+    out = SharedMLP(mdl.mlp_channels, dtype=mdl.dtype,
+                    name="mlp")(grouped, train=train)
+    return jnp.max(out, axis=2)
+
+
 class SharedMLP(nn.Module):
     """Dense + BatchNorm + ReLU stack applied pointwise over the last axis.
 
@@ -71,6 +87,7 @@ class SAModuleVotes(nn.Module):
     normalize_xyz: bool = False
     use_xyz: bool = True
     dtype: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
@@ -92,9 +109,9 @@ class SAModuleVotes(nn.Module):
                 grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
         else:
             grouped = grouped_xyz
-        out = SharedMLP(self.mlp_channels, dtype=self.dtype,
-                        name="mlp")(grouped, train=train)
-        return new_xyz, jnp.max(out, axis=2), inds
+        pool = (nn.remat(_mlp_pool, static_argnums=(2,)) if self.remat
+                else _mlp_pool)
+        return new_xyz, pool(self, grouped, train), inds
 
 
 class SAModuleMSG(nn.Module):

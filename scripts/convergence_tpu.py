@@ -127,7 +127,6 @@ def main():
                "f1": float(np.median([curves[s][i]["f1"] for s in seeds])),
                "loss": float(np.median([curves[s][i]["loss"] for s in seeds]))}
               for i, st in enumerate(steps)]
-    curve = median
 
     out = {"config": "full PQ-Transformer, 40k pts, 4 synthetic rooms "
                      "(2.0-2.6 m), NEAR/FAR = reference default 0.3/0.6 m, "
@@ -139,10 +138,25 @@ def main():
     suffix = "_bf16" if BF16 else ""
     with open(f"docs/convergence_curve{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
+    write_doc(curves, seeds, median)
 
-    lines = ["# Detection-quality convergence (full scale, real TPU)", "",
-             "Command: `python scripts/convergence_tpu.py` (one v5e chip).",
-             "",
+
+def write_doc(curves, seeds, curve):
+    suffix = "_bf16" if BF16 else ""
+    title = "# Detection-quality convergence (full scale, real TPU)"
+    cmd = "python scripts/convergence_tpu.py"
+    if BF16:
+        title += " — bfloat16 mode"
+        cmd = "CONV_BF16=1 CONV_STEPS=12000 " + cmd
+    lines = [title, "",
+             f"Command: `{cmd}` (one v5e chip).",
+             ""]
+    if BF16:
+        lines += ["Same setup as docs/CONVERGENCE.md but the model runs in "
+                  "bfloat16 compute (the `--bf16` CLI mode: Dense/BN/"
+                  "attention in bf16; params, losses, coordinates, Pallas "
+                  "kernels stay f32).", ""]
+    lines += [
              "Setup: the flagship model at the full reference scale "
              "(40k points, 256 object + 256 quad proposals, 6 decoder "
              "layers), overfitting 4 fixed synthetic rooms (2.0-2.6 m) with "
@@ -165,19 +179,32 @@ def main():
         per_seed = " | ".join(f"{curves[s][i]['f1']:.3f}" for s in seeds)
         lines.append(f"| {c['step']} | {per_seed} | {c['f1']:.3f} | "
                      f"{c['loss']:.3f} |")
-    lines += ["",
-              "## Extended single-seed run (12000 steps, round 2)",
-              "",
-              "`CONV_STEPS=12000` with seed 0 on the shipped kernels kept "
-              "climbing past the 6k cutoff: F1 0.512 @ 6k, 0.667 @ 8k, "
-              "0.720 @ 10k, **0.750 @ 11k-12k** (18 of the 24 countable "
-              "quads matched at 0.40 m corner tolerance, 6 false "
-              "positives), with monotonically falling loss (0.022 at 12k). "
-              "The multi-seed table above is the robustness evidence; the "
-              "extended run is the capability ceiling at this "
-              "overfit-4-rooms scale.",
-              "",
-              "A tiny-scale CPU variant of this demonstration runs as "
+    if BF16:
+        best = {s: max(c["f1"] for c in curves[s]) for s in seeds}
+        bests = " / ".join(f"{best[s]:.3f}" for s in seeds)
+        lines += ["",
+                  "This is the accuracy evidence behind the bfloat16-"
+                  "by-default decision: the bf16 trajectories are the same "
+                  "family as f32's (docs/CONVERGENCE.md) — best-over-"
+                  f"trajectory F1 {bests} per seed (median "
+                  f"{np.median(list(best.values())):.3f}) vs the f32 "
+                  "extended run's 0.750 at the same 12k-step budget, with "
+                  "the same ULP tie-flip seed noise. Opt out with `--f32`.",
+                  ""]
+    else:
+        lines += ["",
+                  "## Extended single-seed run (12000 steps, round 2)",
+                  "",
+                  "`CONV_STEPS=12000` with seed 0 on the shipped kernels "
+                  "kept climbing past the 6k cutoff: F1 0.512 @ 6k, 0.667 "
+                  "@ 8k, 0.720 @ 10k, **0.750 @ 11k-12k** (18 of the 24 "
+                  "countable quads matched at 0.40 m corner tolerance, 6 "
+                  "false positives), with monotonically falling loss "
+                  "(0.022 at 12k). The multi-seed table above is the "
+                  "robustness evidence; the extended run is the capability "
+                  "ceiling at this overfit-4-rooms scale.",
+                  ""]
+    lines += ["A tiny-scale CPU variant of this demonstration runs as "
               "`pytest tests/test_convergence.py -m slow` (raised radii, "
               "documented in the test).", ""]
     with open(f"docs/CONVERGENCE{suffix}.md", "w") as f:
@@ -185,5 +212,15 @@ def main():
     print(f"wrote docs/CONVERGENCE{suffix}.md")
 
 
+def redoc():
+    """Regenerate the doc from the saved JSON (no TPU run)."""
+    suffix = "_bf16" if BF16 else ""
+    with open(f"docs/convergence_curve{suffix}.json") as f:
+        out = json.load(f)
+    seeds = out["seeds"]
+    curves = {s: out["curves"][str(s)] for s in seeds}
+    write_doc(curves, seeds, out["median_curve"])
+
+
 if __name__ == "__main__":
-    main()
+    redoc() if "--redoc" in sys.argv else main()

@@ -26,13 +26,19 @@ from omni_pq_tpu.train import (TrainFlags, OptimizerConfig, create_train_state,
                                make_train_step)
 
 BF16 = "--bf16" in sys.argv
+REMAT = "--remat" in sys.argv
 TOPN = int(sys.argv[sys.argv.index("--topn") + 1]) if "--topn" in sys.argv else 40
 TRACE_DIR = "/tmp/omni_pq_trace"
 
 
 def main():
-    print("backend:", jax.default_backend(), "bf16:", BF16, flush=True)
-    cfg = ModelConfig(compute_dtype="bfloat16" if BF16 else "float32")
+    if "--offline" in sys.argv:  # re-parse the latest trace, no TPU run
+        summarize()
+        return
+    print("backend:", jax.default_backend(), "bf16:", BF16,
+          "remat:", REMAT, flush=True)
+    cfg = ModelConfig(compute_dtype="bfloat16" if BF16 else "float32",
+                      remat_sa=REMAT)
     model = PQTransformer(cfg)
     rng = np.random.default_rng(0)
     labeled = {k: jnp.asarray(v) for k, v in make_batch(rng, 3, cfg.num_points).items()}
@@ -58,7 +64,10 @@ def main():
         state, stats = step(state, labeled, weak, k, jnp.float32(0.05))
     np.asarray(stats["total_loss"])
     jax.profiler.stop_trace()
+    summarize()
 
+
+def summarize():
     import glob
     paths = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"),
                              recursive=True), key=os.path.getmtime)
@@ -73,27 +82,35 @@ def main():
         except OSError:
             pass
         data = data.decode()
-    rows = json.loads(data)
-    # hlo_stats rows: list of dicts; device-time column name varies
-    if isinstance(rows, dict):
-        rows = rows.get("data", rows)
+    d = json.loads(data)
+    if isinstance(d, dict) and "cols" in d:
+        # Google DataTable format (xprof >= 2.x): {cols: [...], rows: [{c: [{v}]}]}
+        labels = [c.get("label") or c.get("id") for c in d["cols"]]
+        rows = [dict(zip(labels, (cell.get("v") if isinstance(cell, dict)
+                                  else cell for cell in r["c"])))
+                for r in d["rows"]]
+    else:
+        rows = d.get("data", d) if isinstance(d, dict) else d
     print(f"{len(rows)} hlo rows")
-    key_time = None
-    sample = rows[1] if len(rows) > 1 else rows[0]
-    for cand in ("total_time_us", "Total time (us)", "occurrences"):
-        if cand in sample:
-            key_time = cand
-    print("columns:", list(sample.keys())[:14])
-    kt = key_time or list(sample.keys())[0]
-    srt = sorted((r for r in rows if isinstance(r, dict)),
-                 key=lambda r: -float(r.get(kt, 0) or 0))
-    tot = sum(float(r.get(kt, 0) or 0) for r in rows if isinstance(r, dict))
+    kt = next((k for k in ("Total self time (us)", "total_time_us",
+                           "Total time (us)") if k in rows[0]), None)
+    cat_k = next((k for k in ("HLO op category", "hlo_category") if k in rows[0]), "?")
+    nm_k = next((k for k in ("HLO op name", "hlo_op_name") if k in rows[0]), "?")
+    fw_k = next((k for k in ("Framework op name", "framework_op_name")
+                 if k in rows[0]), None)
+    srt = sorted(rows, key=lambda r: -float(r.get(kt, 0) or 0))
+    tot = sum(float(r.get(kt, 0) or 0) for r in rows)
     print(f"total {kt}: {tot:,.0f}")
+    by_cat = {}
+    for r in rows:
+        by_cat[r.get(cat_k, "?")] = (by_cat.get(r.get(cat_k, "?"), 0)
+                                     + float(r.get(kt, 0) or 0))
+    for c, t in sorted(by_cat.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  cat {t:12,.0f} us  {c}")
     for r in srt[:TOPN]:
-        nm = (r.get("hlo_op_expression") or r.get("HLO Op expression")
-              or r.get("hlo_op_name") or "?")
-        cat = r.get("hlo_category") or r.get("HLO Category") or "?"
-        print(f"{float(r.get(kt, 0) or 0):12,.0f}  {cat:24s} {str(nm)[:110]}")
+        fw = (" | " + str(r.get(fw_k))[:60]) if fw_k else ""
+        print(f"{float(r.get(kt, 0) or 0):12,.0f}  "
+              f"{str(r.get(cat_k, '?')):20s} {str(r.get(nm_k, '?'))[:40]}{fw}")
 
 
 if __name__ == "__main__":

@@ -68,6 +68,40 @@ def test_train_mode_updates_batch_stats(rng):
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+def test_remat_sa_is_equivalent(rng):
+    """remat_sa recomputes the SA MLPs in the backward pass — the param
+    tree, forward values, and gradients must be identical to the
+    unrematted model (it is a pure scheduling change)."""
+    import dataclasses
+    model = PQTransformer(TINY)
+    model_r = PQTransformer(dataclasses.replace(TINY, remat_sa=True))
+    pc = jnp.asarray(tiny_cloud(rng))
+    variables = model.init(jax.random.PRNGKey(0), pc)
+    variables_r = model_r.init(jax.random.PRNGKey(0), pc)
+    # identical param paths + shapes (the lifted remat preserves scope)
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    flat_r = jax.tree_util.tree_flatten_with_path(variables_r)[0]
+    assert [(p, a.shape) for p, a in flat] == [(p, a.shape) for p, a in flat_r]
+
+    def loss_fn(m, params):
+        ep = m.apply({"params": params,
+                      "batch_stats": variables["batch_stats"]}, pc)
+        return (jnp.sum(ep["last_center"] ** 2)
+                + jnp.sum(ep["last_quad_scores"] ** 2)), ep
+
+    (l0, ep0), g0 = jax.value_and_grad(
+        lambda p: loss_fn(model, p), has_aux=True)(variables["params"])
+    (l1, ep1), g1 = jax.value_and_grad(
+        lambda p: loss_fn(model_r, p), has_aux=True)(variables["params"])
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(ep0["last_center"]),
+                                  np.asarray(ep1["last_center"]))
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_grads_flow(rng):
     model = PQTransformer(TINY)
