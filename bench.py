@@ -41,13 +41,15 @@ def main():
 
     log("backend:", jax.default_backend(), jax.devices())
     on_tpu = jax.default_backend() == "tpu"
-    # experiment overrides (measured in benchmarks/TUNING.md):
-    #   OMNI_PQ_BF16=1  -> bfloat16 Dense/MXU compute (the --bf16 CLI mode)
+    # bfloat16 Dense/MXU compute is the training default (the CLI's too):
+    # convergence evidence in docs/CONVERGENCE_bf16.md. Overrides (measured
+    # in benchmarks/TUNING.md):
+    #   OMNI_PQ_F32=1   -> full float32 compute (the --f32 CLI mode)
     #   OMNI_PQ_REMAT=1 -> remat the SA-layer MLPs (bytes-for-FLOPs trade)
     import os
     cfg = ModelConfig(
-        compute_dtype=("bfloat16" if os.environ.get("OMNI_PQ_BF16") == "1"
-                       else "float32"),
+        compute_dtype=("float32" if os.environ.get("OMNI_PQ_F32") == "1"
+                       else "bfloat16"),
         remat_sa=os.environ.get("OMNI_PQ_REMAT") == "1")
     log("compute_dtype:", cfg.compute_dtype, "remat_sa:", cfg.remat_sa)
     B = 3  # labeled scenes (reference train.sh batch_size)
@@ -73,7 +75,14 @@ def main():
     flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False, pc_loss=True)
     step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags, donate=True)
 
-    key = jax.random.PRNGKey(0)
+    # TPU-native hardware PRNG for the in-step randomness (dropout masks,
+    # gamma EM sampling) — the CLI default too. Fused threefry mask
+    # generation measured 23.3 ms of the 133.7 ms step (TUNING.md).
+    # OMNI_PQ_THREEFRY=1 restores the counter-based stream.
+    if os.environ.get("OMNI_PQ_THREEFRY") == "1":
+        key = jax.random.PRNGKey(0)
+    else:
+        key = jax.random.key(0, impl="rbg")
     t0 = time.time()
     key, k = jax.random.split(key)
     state, stats = step(state, batches[0][0], batches[0][1], k,

@@ -103,9 +103,23 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
     parser.add_argument('--faster_eval', action='store_true')
     parser.add_argument('--smoke', action='store_true',
                         help='tiny model + tiny scenes for CI smoke runs')
-    parser.add_argument('--bf16', action='store_true',
+    # bfloat16 Dense/MXU compute is the DEFAULT on TPU (params, losses,
+    # coordinates and the Pallas kernels stay float32): 133.7 vs 142.7
+    # ms/step with convergence equivalent to f32 at the 12k-step budget
+    # (docs/CONVERGENCE_bf16.md, 3 seeds). --f32 opts out; --bf16 is kept
+    # as an accepted no-op for script compat. The *library* default
+    # (ModelConfig.compute_dtype) remains float32 for bitwise parity work.
+    parser.add_argument('--bf16', action='store_true', default=True,
                         help='bfloat16 compute for the Dense/MXU path '
-                             '(params and losses stay float32)')
+                             '(params and losses stay float32; the default)')
+    parser.add_argument('--f32', dest='bf16', action='store_false',
+                        help='full float32 compute (opt out of the bfloat16 '
+                             'default; the reference itself ran TF32 matmuls)')
+    parser.add_argument('--threefry', action='store_true',
+                        help='counter-based threefry PRNG for in-step '
+                             'randomness (dropout, gamma EM) instead of the '
+                             'TPU-native rbg default — reproducible across '
+                             'backends, measured +23 ms/step on v5e')
     parser.add_argument('--teacher_bf16', action='store_true',
                         help='run the EMA-teacher forward in bfloat16 '
                              '(soft consistency targets only; the student '

@@ -262,7 +262,14 @@ def main(argv=None):
                                  donate=True)
 
     f1, ema_f1, max_f1, max_ema_f1 = 0.0, 0.2, 0.0, 0.2
-    step_rng = jax.random.PRNGKey(args.rng_seed + 123)
+    # In-step randomness (dropout masks, gamma EM sampling) uses the
+    # TPU-native hardware PRNG by default: threefry mask generation fused
+    # through the attention graph measured 23.3 ms of the 133.7 ms step
+    # (133.7 -> 110.4 ms/step with rbg; benchmarks/TUNING.md). --threefry
+    # restores the counter-based stream (e.g. for cross-backend
+    # reproducibility of a specific run).
+    step_rng = (jax.random.PRNGKey(args.rng_seed + 123) if args.threefry
+                else jax.random.key(args.rng_seed + 123, impl="rbg"))
     profile_dir = os.path.join(args.log_dir, "profile")
     prof_start = 2 if args.profile else -1  # step 1 includes compile
     prof_stop = prof_start + args.profile
