@@ -14,6 +14,17 @@ difference at npoint=2048. Scratch (min-dist, last index) persists across
 grid steps and resets at step 0; the selected index is deposited into the
 output row with a one-hot accumulate (per-row dynamic lane stores are not a
 TPU primitive).
+
+Layout: each batch row's N points are split across all 8 sublanes of the
+vector registers as (B, 8, N/8) — original index = sublane*L + lane. With
+points only in the lane dimension a B=6 call left 2/8 sublanes idle on
+every VPU pass; the packed layout runs the same per-element arithmetic on
+~24% fewer vector registers (measured 11.2 -> 6.7 ms/call at sa1 scale on
+a chained-call harness; full step 110.4 -> 101.4 ms). All reductions here
+are exact under reordering (one-hot dot products have a single nonzero;
+min/max are associative+commutative), so interpret-mode results are
+bit-identical to the unpacked layout; hardware FMA grouping may differ,
+with the same 0-2/512 tail-tie-flip envelope as before (see below).
 """
 from __future__ import annotations
 
@@ -27,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .reference import FPS_SKIP_NORM_SQ, fps_ref
 
 _LANE = 128
+_SUB = 8  # sublanes per vreg; the point dim is split (B, N) -> (B, 8, N/8)
 # max batch rows per kernel invocation; keeps VMEM under ~8MB at N=40k
 _MAX_ROWS = 8
 
@@ -35,35 +47,40 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
-    B, N = x_ref.shape
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
+                col_ref):
+    B, S, L = x_ref.shape
     npoint = pl.num_programs(0)
     i = pl.program_id(0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
 
     @pl.when(i == 0)
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
         # hoisted loop invariants: |p|^2 (reused in the fused distance form),
-        # and the padding/origin-skip mask folded into the initial min-dist
-        # sign bias (invalid points can never win the argmax)
+        # the original-index map of the packed layout, and the padding/
+        # origin-skip mask folded into the initial min-dist sign bias
         pn = x * x + y * y + z * z
         pn_ref[:] = pn
+        sub = jax.lax.broadcasted_iota(jnp.int32, (B, S, L), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, S, L), 2)
+        col_ref[:] = sub * L + lane
         # validity folded into the initial min-dist: invalid (near-origin /
         # padding) lanes start at -1 and min() keeps them there (d >= ~0), so
         # they can never win the argmax — no per-step masking needed
         mind_ref[:] = jnp.where(pn > FPS_SKIP_NORM_SQ, 1e10, -1.0)
-        last_ref[:] = jnp.zeros((B, 1), jnp.int32)
-        out_ref[:] = jnp.zeros((B, npoint), dtype=jnp.int32)
+        last_ref[:] = jnp.zeros((B, 1, 1), jnp.int32)
+        out_ref[:] = jnp.zeros((B, 1, npoint), dtype=jnp.int32)
 
     @pl.when(i > 0)
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
         pn = pn_ref[:]
+        cols = col_ref[:]
         # extract the previously selected point's coords with a one-hot
-        # reduction. (Tried and rejected: per-row 128-aligned dynamic lane
-        # slices + 128-wide select — measured SLOWER, 9.2 vs 8.4 ms at sa1;
-        # the scalar-driven slices serialize.)
+        # reduction — exactly one lane matches, so the two-stage (lane,
+        # sublane) sum is exact. (Tried and rejected: per-row 128-aligned
+        # dynamic lane slices + 128-wide select — measured SLOWER, 9.2 vs
+        # 8.4 ms at sa1; the scalar-driven slices serialize.)
         #
         # Hardware-exactness note: on real TPUs the fused distance form
         # below differs from the oracle's direct |p-c|^2 by ULPs (FMA /
@@ -74,20 +91,25 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref):
         # tie-breaks (sampling_gpu.cu:79-177).
         last = last_ref[:]
         onehot = (cols == last).astype(jnp.float32)
-        cx = jnp.sum(x * onehot, axis=1, keepdims=True)
-        cy = jnp.sum(y * onehot, axis=1, keepdims=True)
-        cz = jnp.sum(z * onehot, axis=1, keepdims=True)
+
+        def _extract(p):
+            t = jnp.sum(p * onehot, axis=2, keepdims=True)
+            return jnp.sum(t, axis=1, keepdims=True)
+
+        cx, cy, cz = _extract(x), _extract(y), _extract(z)
         cn = cx * cx + cy * cy + cz * cz
         # fused |p - c|^2 = |p|^2 - 2 p.c + |c|^2
         d = pn - 2.0 * (x * cx + y * cy + z * cz) + cn
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
-        m = jnp.max(mind, axis=1, keepdims=True)
-        nxt = jnp.min(jnp.where(mind >= m, cols, N), axis=1, keepdims=True)
-        nxt = nxt.astype(jnp.int32)
+        m = jnp.max(jnp.max(mind, axis=2, keepdims=True), axis=1,
+                    keepdims=True)
+        cand = jnp.where(mind >= m, cols, S * L)
+        nxt = jnp.min(jnp.min(cand, axis=2, keepdims=True), axis=1,
+                      keepdims=True).astype(jnp.int32)
         last_ref[:] = nxt
         # deposit the selected index with a one-hot accumulate
-        ocols = jax.lax.broadcasted_iota(jnp.int32, (B, npoint), 1)
+        ocols = jax.lax.broadcasted_iota(jnp.int32, (B, 1, npoint), 2)
         out_ref[:] = out_ref[:] + nxt * (ocols == i).astype(jnp.int32)
 
 
@@ -105,29 +127,34 @@ def fps(xyz: jax.Array, npoint: int) -> jax.Array:
     if N <= npoint:
         # degenerate; fall back to oracle (static shapes still required)
         return fps_ref(xyz, npoint)
-    n_pad = (-N) % _LANE
+    n_pad = (-N) % (_LANE * _SUB)
     planes = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)))
     planes = planes.transpose(0, 2, 1)  # (B, 3, Npad)
     npad = N + n_pad
+    lanes = npad // _SUB
 
     def run(chunk):  # (Bc, 3, Npad)
         bc = chunk.shape[0]
-        spec = pl.BlockSpec((bc, npad), lambda i: (0, 0),
+        spec = pl.BlockSpec((bc, _SUB, lanes), lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-        return pl.pallas_call(
+        out = pl.pallas_call(
             _fps_kernel,
             grid=(npoint,),
-            out_shape=jax.ShapeDtypeStruct((bc, npoint), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((bc, 1, npoint), jnp.int32),
             in_specs=[spec] * 3,
-            out_specs=pl.BlockSpec((bc, npoint), lambda i: (0, 0),
+            out_specs=pl.BlockSpec((bc, 1, npoint), lambda i: (0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((bc, npad), jnp.float32),
-                            pltpu.VMEM((bc, 1), jnp.int32),
-                            pltpu.VMEM((bc, npad), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((bc, _SUB, lanes), jnp.float32),
+                            pltpu.VMEM((bc, 1, 1), jnp.int32),
+                            pltpu.VMEM((bc, _SUB, lanes), jnp.float32),
+                            pltpu.VMEM((bc, _SUB, lanes), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
             interpret=_interpret(),
-        )(chunk[:, 0], chunk[:, 1], chunk[:, 2])
+        )(chunk[:, 0].reshape(bc, _SUB, lanes),
+          chunk[:, 1].reshape(bc, _SUB, lanes),
+          chunk[:, 2].reshape(bc, _SUB, lanes))
+        return out[:, 0]
 
     if B <= _MAX_ROWS:
         return run(planes)

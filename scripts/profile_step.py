@@ -4,7 +4,7 @@ Writes a trace of a few steady-state steps, then prints the hlo_stats
 top-N device-time table (offline, via xprof.convert — the tensorboard
 plugin is broken against the installed TF; see .claude/skills/verify).
 
-Run (TPU host):  python scripts/profile_step.py [--bf16] [--topn 40]
+Run (TPU host):  python scripts/profile_step.py [--bf16] [--threefry] [--topn 40]
 """
 import os
 import sys
@@ -49,7 +49,8 @@ def main():
     flags = TrainFlags(ema=True, gamma_mixture=True, arkit=False, pc_loss=True)
     step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags, donate=True)
 
-    key = jax.random.PRNGKey(0)
+    key = (jax.random.PRNGKey(0) if "--threefry" in sys.argv
+           else jax.random.key(0, impl="rbg"))
     t0 = time.time()
     for i in range(4):  # compile + warm
         key, k = jax.random.split(key)
