@@ -88,11 +88,18 @@ class MultiHeadAttention(nn.Module):
     """Standard MHA with packed qkv projections and attention-weight dropout,
     matching torch.nn.MultiheadAttention semantics (the reference's fork
     behaves identically for attention_type=''). Softmax runs in float32 even
-    under bf16 compute."""
+    under bf16 compute.
+
+    attention_type='self' reproduces the reference fork's one deviation
+    (multi_head_attention.py:393-396): the output projection is applied to
+    `query - attn_output` instead of `attn_output`. No reference driver
+    reaches it (transformer.py:146,212 pass ''), but it is part of the
+    reference's API surface."""
     d_model: int
     nhead: int
     dropout: float = 0.1
     dtype: str = "float32"
+    attention_type: str = ""
 
     @nn.compact
     def __call__(self, q, k, v, train: bool = False):
@@ -107,8 +114,10 @@ class MultiHeadAttention(nn.Module):
         weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
         weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vp.dtype), vp)
-        out = out.astype(jnp.float32)
-        return nn.Dense(D, name="out_proj")(out.reshape(*q.shape[:2], D))
+        out = out.astype(jnp.float32).reshape(*q.shape[:2], D)
+        if self.attention_type == "self":
+            out = q.astype(jnp.float32) - out
+        return nn.Dense(D, name="out_proj")(out)
 
 
 class TransformerDecoderLayer(nn.Module):

@@ -122,3 +122,24 @@ def test_grads_flow(rng):
                 "quad_prediction_head1", "vote", "decoder_key_proj"]:
         sub = jax.tree_util.tree_leaves(grads[mod])
         assert any(float(np.abs(np.asarray(g)).sum()) > 0 for g in sub), mod
+
+
+def test_mha_self_attention_type():
+    """attention_type='self' projects (query - attn_output), the reference
+    fork's one deviation (multi_head_attention.py:393-396); '' is standard."""
+    from omni_pq_tpu.models.transformer import MultiHeadAttention
+    q = jnp.asarray(np.random.default_rng(0).normal(size=(2, 5, 16)),
+                    jnp.float32)
+    std = MultiHeadAttention(d_model=16, nhead=4, dropout=0.0)
+    slf = MultiHeadAttention(d_model=16, nhead=4, dropout=0.0,
+                             attention_type="self")
+    params = std.init(jax.random.PRNGKey(0), q, q, q)
+    out_std = std.apply(params, q, q, q)
+    out_slf = slf.apply(params, q, q, q)  # same params: only the wiring moves
+    assert out_std.shape == out_slf.shape == q.shape
+    # recombine: self-variant equals out_proj applied to (q - pre_proj), so
+    # out_self + out_std = out_proj(q) + bias-correction; check via direct form
+    w = params["params"]["out_proj"]["kernel"]
+    b = params["params"]["out_proj"]["bias"]
+    np.testing.assert_allclose(np.asarray(out_slf + out_std),
+                               np.asarray(q @ w + 2 * b), rtol=2e-5, atol=2e-5)
