@@ -1,9 +1,23 @@
 """Persistent XLA compilation cache.
 
 The full train step takes ~4 min to compile on a v5e through the axon
-tunnel; the persistent cache cuts warm recompiles ~2.7x (measured). Keyed on
-the optimized HLO, so code changes invalidate naturally. Call before the
+tunnel; the persistent cache cuts warm recompiles ~17x (measured). Keyed on
+the lowered module, so code changes invalidate naturally. Call before the
 first jit compilation.
+
+Pallas caveat (root-caused in round 3): the serialized Mosaic kernel payload
+inside each tpu_custom_call embeds MLIR *location info for the full Python
+call stack at trace time* when jax_include_full_tracebacks_in_locations is
+on (the default). The cache key canonicalizes the outer module with
+strip-debuginfo but cannot reach inside custom-call payload strings, so any
+difference in how the program was LAUNCHED (a wrapper script, a different
+entry-point file, even an edit that shifts line numbers in a caller on the
+pallas trace path) changes the payload bytes and fragments the key — we
+measured 73 distinct 74 MB cache entries for the same train step. enable()
+therefore turns full tracebacks-in-locations off (kernel-level locations
+remain; only the Python-stack frames go), which makes payloads — and keys —
+depend only on the kernel code itself. OMNI_PQ_FULL_LOCATIONS=1 restores
+full tracebacks (richer XLA error locations, fragmented cache).
 """
 from __future__ import annotations
 
@@ -22,5 +36,8 @@ def enable(cache_dir: str | None = None) -> None:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(d))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        if os.environ.get("OMNI_PQ_FULL_LOCATIONS") != "1":
+            jax.config.update("jax_include_full_tracebacks_in_locations",
+                              False)
     except Exception:
         pass  # unwritable dir / old jax: run without the cache

@@ -205,3 +205,45 @@ class TestPreprocess:
                               np.zeros((300, 1))], axis=1)
         n = estimate_normals(pts, k=20)
         np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-5)
+
+
+class TestCompileCache:
+    def test_enable_strips_python_stack_locations(self, tmp_path):
+        """enable() must turn jax_include_full_tracebacks_in_locations off
+        (round-3 root cause: Python-stack MLIR locations inside Mosaic
+        custom-call payloads fragment the persistent cache key per launch
+        path — 73 distinct 74 MB entries for one train step) and point the
+        persistent cache at the given dir."""
+        import jax as _jax
+        from omni_pq_tpu.utils import compile_cache
+        prev_dir = _jax.config.jax_compilation_cache_dir
+        prev_loc = _jax.config.jax_include_full_tracebacks_in_locations
+        try:
+            _jax.config.update("jax_include_full_tracebacks_in_locations",
+                               True)
+            compile_cache.enable(str(tmp_path / "cache"))
+            assert _jax.config.jax_include_full_tracebacks_in_locations \
+                is False
+            assert _jax.config.jax_compilation_cache_dir == \
+                str(tmp_path / "cache")
+        finally:
+            _jax.config.update("jax_compilation_cache_dir", prev_dir)
+            _jax.config.update("jax_include_full_tracebacks_in_locations",
+                               prev_loc)
+
+    def test_full_locations_opt_out(self, tmp_path, monkeypatch):
+        import jax as _jax
+        from omni_pq_tpu.utils import compile_cache
+        prev_dir = _jax.config.jax_compilation_cache_dir
+        prev_loc = _jax.config.jax_include_full_tracebacks_in_locations
+        try:
+            _jax.config.update("jax_include_full_tracebacks_in_locations",
+                               True)
+            monkeypatch.setenv("OMNI_PQ_FULL_LOCATIONS", "1")
+            compile_cache.enable(str(tmp_path / "cache"))
+            assert _jax.config.jax_include_full_tracebacks_in_locations \
+                is True
+        finally:
+            _jax.config.update("jax_compilation_cache_dir", prev_dir)
+            _jax.config.update("jax_include_full_tracebacks_in_locations",
+                               prev_loc)

@@ -293,3 +293,84 @@ class TestGammaReferencePar:
         # component order may be swapped between the two fits
         rw = float(runner.weight)
         assert min(abs(float(w) - rw), abs(float(w) - (1 - rw))) < 0.1
+
+
+class TestLegacyDistance:
+    """losses/distance.py vs a numpy port of distance_util.py:111-146."""
+
+    @staticmethod
+    def _oracle(points, quads):
+        """Running-min loop, verbatim semantics of calc_distance_vertically."""
+        pc_center = points.mean(axis=0)
+        dist = np.full((points.shape[0],), 10.0, np.float32)
+        idx = np.ones((points.shape[0],), np.float32)
+        for qi, quad in enumerate(quads):
+            qc = quad.mean(axis=0)
+            n = np.cross(quad[1] - quad[0], quad[2] - quad[0])
+            n = n / np.linalg.norm(n)
+            if np.dot(pc_center - qc, n) > 0:
+                n = -n
+            vd = (points - qc) @ n
+            m = np.abs(vd) < np.abs(dist)
+            dist[m] = vd[m]
+            idx[m] = qi
+        return dist, idx
+
+    def test_calc_distance_vertically_golden(self):
+        rng = np.random.default_rng(3)
+        points = rng.uniform(-4, 4, (500, 3)).astype(np.float32)
+        # axis-aligned wall-like quads
+        quads = []
+        for x0 in (-3.0, 0.5, 2.5):
+            quads.append(np.array([[x0, -3, 0], [x0, 3, 0],
+                                   [x0, 3, 2.5], [x0, -3, 2.5]], np.float32))
+        quads = np.stack(quads)
+        ref_d, ref_i = self._oracle(points, quads)
+        got_d, got_i = losses.calc_distance_vertically(
+            jnp.asarray(points), jnp.asarray(quads))
+        np.testing.assert_allclose(np.asarray(got_d), ref_d, atol=1e-5)
+        # idx can only differ where |d| ties at float precision
+        same = np.asarray(got_i) == ref_i
+        assert same.mean() > 0.999, f"idx mismatch {1 - same.mean():.4f}"
+
+    def test_calc_distance_mask_and_far_points(self):
+        points = jnp.asarray([[0.0, 0.0, 0.0], [100.0, 0.0, 0.0]])
+        quads = jnp.asarray([
+            [[0.5, -1, -1], [0.5, 1, -1], [0.5, 1, 1], [0.5, -1, 1]],
+            [[0.1, -1, -1], [0.1, 1, -1], [0.1, 1, 1], [0.1, -1, 1]],
+        ])
+        # masked-out nearer quad must be ignored
+        d, i = losses.calc_distance_vertically(
+            points, quads, jnp.asarray([True, False]))
+        assert abs(float(d[0])) == pytest.approx(0.5, abs=1e-6)
+        assert float(i[0]) == 0.0
+        # far point keeps the 10.0 / 1.0 init (reference :117-119)
+        assert float(d[1]) == pytest.approx(10.0)
+        assert float(i[1]) == 1.0
+
+    def test_distance_loss_runs_and_filters(self):
+        rng = np.random.default_rng(7)
+        B, N, Q = 2, 400, 4
+        pts = rng.uniform(-3, 3, (B, N, 3)).astype(np.float32)
+        sem = rng.integers(0, 12, (B, N)).astype(np.int32)
+        # a far outlier cluster labeled wall: distance stays at the 10.0
+        # init, so the mixture's far component should filter it out
+        pts[:, :40] = rng.uniform(40, 50, (B, 40, 3))
+        sem[:, :40] = 1
+        quads = np.zeros((B, Q, 4, 3), np.float32)
+        for b in range(B):
+            for q in range(Q):
+                x0 = rng.uniform(-3, 3)
+                quads[b, q] = [[x0, -3, 0], [x0, 3, 0],
+                               [x0, 3, 2.5], [x0, -3, 2.5]]
+        qmask = np.array([[True] * Q, [True, True, False, False]])
+        loss, aux = jax.jit(losses.distance_loss_gamma_mixture)(
+            jnp.asarray(pts), jnp.asarray(sem), jnp.asarray(quads),
+            jnp.asarray(qmask))
+        assert np.isfinite(float(loss)) and float(loss) >= 0
+        layout = np.isin(sem, (1, 8, 9))
+        np.testing.assert_array_equal(np.asarray(aux["layout_mask"]), layout)
+        keep = np.asarray(aux["keep_mask"])
+        assert not keep[~layout].any()           # only layout points kept
+        assert keep.any()                        # the filter keeps something
+        assert keep.sum() < layout.sum()         # ... but not everything
