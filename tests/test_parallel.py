@@ -82,3 +82,36 @@ def test_graft_dryrun():
         dryrun_multichip(8)
     finally:
         sys.path.pop(0)
+
+def test_mesh_ready_never_inits_backend_cold():
+    """Round-3 regression: with no backend initialized and a platform list
+    that is not exactly 'cpu' (e.g. the driver's 'axon,cpu'), _mesh_ready
+    must report not-ready WITHOUT touching jax.devices() — axon backend
+    init blocks indefinitely when the TPU tunnel is down, and the caller's
+    CPU-forced bootstrap subprocess is the hang-free path."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    try:
+        import __graft_entry__ as g
+        from jax._src import xla_bridge
+        prev_backends = xla_bridge._backends
+        prev_plat = jax.config.jax_platforms
+        prev_devices = jax.devices
+        try:
+            xla_bridge._backends = {}
+            jax.config.update("jax_platforms", "axon,cpu")
+            jax.devices = lambda *a, **k: pytest.fail(
+                "_mesh_ready initialized a backend with none up")
+            assert g._mesh_ready(8) is False
+            # exact-'cpu' platform config may probe (hang-free by
+            # construction) and must see the ready mesh
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices = prev_devices
+            xla_bridge._backends = prev_backends
+            assert g._mesh_ready(8) is True
+        finally:
+            jax.devices = prev_devices
+            xla_bridge._backends = prev_backends
+            jax.config.update("jax_platforms", prev_plat)
+    finally:
+        sys.path.pop(0)
