@@ -254,3 +254,145 @@ def test_gamma_metric_far_quad_demoted(rng):
         assert not bool(enough)
     else:
         np.testing.assert_allclose(float(gsc), wsc, rtol=2e-3, atol=1e-6)
+
+
+# ------------------------------------------------- EMA consistency loss
+
+def _ref_consistency_loss(ep, ema_ep, mean_size_arr, prefixes):
+    """Numpy port of mean_teacher_consistency_util.get_consistency_loss
+    (/root/reference/models/utils/mean_teacher_consistency_util.py:21-270),
+    verbatim semantics: in-place flip/rot/scale alignment of teacher centers,
+    student scores indexed by the ema-side match index (:45-47), strict-<
+    85th-percentile clip (:57-58), KL 'mean' for objects vs 'batchmean' for
+    quads (:110,127), and the 0.5/1.0/0.05 (+1.0 normal) combinations."""
+    flip_x, flip_y = ep["flip_x_axis"], ep["flip_y_axis"]
+    rot_mat, scale = ep["rot_mat"], ep["scale"]
+    B = flip_x.shape[0]
+
+    def softmax(x, axis):
+        e = np.exp(x - x.max(axis=axis, keepdims=True))
+        return e / e.sum(axis=axis, keepdims=True)
+
+    def nn_dist(a, b):
+        d = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+        return d.min(2), d.argmin(2), d.min(1), d.argmin(1)
+
+    def align(ema_center):
+        c = ema_center.copy()
+        c[flip_x > 0, :, 0] *= -1
+        c[flip_y > 0, :, 1] *= -1
+        c = np.einsum("bkj,bij->bki", c, rot_mat)
+        return c * scale[:, None, None]
+
+    def clip_mean(dist):
+        eps = np.quantile(dist, 0.85)
+        return ((dist < eps) * dist).mean()
+
+    def center_loss(center, ema_center, scores):
+        dist1, ind1, dist2, ind2 = nn_dist(center, ema_center)
+        dist1_mask = np.stack([s[i] for s, i in zip(scores, ind1)])
+        dist = dist1 * dist1_mask + dist2 * scores
+        return clip_mean(dist), ind2, scores
+
+    def class_loss(cls, ema_cls, map_ind, batchmean):
+        logp = cls - cls.max(2, keepdims=True)
+        logp = logp - np.log(np.exp(logp).sum(2, keepdims=True))
+        ema_p = softmax(ema_cls, 2)
+        logp_al = np.stack([a[i] for a, i in zip(logp, map_ind)])
+        kl = ema_p * (np.log(ema_p) - logp_al)
+        return 2.0 * (kl.sum() / B if batchmean else kl.mean())
+
+    def decode_size(ep_, prefix):
+        cls = np.argmax(ep_[f"{prefix}size_scores"], -1)
+        res = np.take_along_axis(
+            ep_[f"{prefix}size_residuals"],
+            cls[..., None, None], axis=2)[:, :, 0]
+        return mean_size_arr[cls] + res
+
+    total_obj, total_quad = 0.0, 0.0
+    for prefix in prefixes:
+        scores = softmax(ep[f"{prefix}objectness_scores"], 2)[..., 1]
+        c_loss, map_ind, conf = center_loss(
+            ep[f"{prefix}center"], align(ema_ep[f"{prefix}center"]), scores)
+        k_loss = class_loss(ep[f"{prefix}sem_cls_scores"],
+                            ema_ep[f"{prefix}sem_cls_scores"], map_ind, False)
+        size = decode_size(ep, prefix)
+        ema_size = decode_size(ema_ep, prefix) * scale[:, None, None]
+        size_al = np.stack([a[i] for a, i in zip(size, map_ind)])
+        s_loss = clip_mean(((size_al - ema_size) ** 2).sum(2) * conf)
+        total_obj += 0.5 * c_loss + 1.0 * k_loss + 0.05 * s_loss
+
+        qscores = softmax(ep[f"{prefix}quad_scores"], 2)[..., 1]
+        qc_loss, qmap_ind, qconf = center_loss(
+            ep[f"{prefix}quad_center"],
+            align(ema_ep[f"{prefix}quad_center"]), qscores)
+        qk_loss = class_loss(ep[f"{prefix}quad_scores"],
+                             ema_ep[f"{prefix}quad_scores"], qmap_ind, True)
+        nrm = np.stack([a[i] for a, i in
+                        zip(ep[f"{prefix}normal_vector"], qmap_ind)])
+        ema_nrm = ema_ep[f"{prefix}normal_vector"]
+        cos = (nrm[..., :2] * ema_nrm[..., :2]).sum(-1) / (
+            np.linalg.norm(nrm[..., :2], axis=-1)
+            * np.linalg.norm(ema_nrm[..., :2], axis=-1) + 1e-8)
+        n_loss = clip_mean((1.0 - np.abs(cos)) * qconf)
+        qs = np.stack([a[i] for a, i in
+                       zip(ep[f"{prefix}quad_size"], qmap_ind)])
+        # NB: unlike object sizes, the reference never applies the scale
+        # ratio to the teacher's quad sizes (:188-195)
+        qs_loss = clip_mean(
+            ((qs - ema_ep[f"{prefix}quad_size"]) ** 2).sum(2) * qconf)
+        total_quad += (0.5 * qc_loss + 0.0 * qk_loss + 1.0 * n_loss
+                       + 0.05 * qs_loss)
+    n = len(prefixes)
+    return total_obj / n + total_quad / n
+
+
+def test_consistency_loss_matches_reference_loops(rng):
+    from omni_pq_tpu.losses.consistency import get_consistency_loss
+
+    B, K, Kq, C, S = 2, 8, 6, 5, 4
+    mean_size_arr = SCANNET_MEAN_SIZES[:S].astype(np.float32)
+    num_layer = 2
+    prefixes = ["last_", "proposal_"] + [f"{i}head_"
+                                         for i in range(num_layer - 1)]
+
+    def make_ep():
+        ep = {}
+        for p in prefixes:
+            ep[f"{p}center"] = rng.uniform(-3, 3, (B, K, 3)).astype(np.float32)
+            ep[f"{p}objectness_scores"] = rng.normal(
+                size=(B, K, 2)).astype(np.float32)
+            ep[f"{p}sem_cls_scores"] = rng.normal(
+                size=(B, K, C)).astype(np.float32)
+            ep[f"{p}size_scores"] = rng.normal(
+                size=(B, K, S)).astype(np.float32)
+            ep[f"{p}size_residuals"] = rng.normal(
+                size=(B, K, S, 3)).astype(np.float32) * 0.1
+            ep[f"{p}quad_center"] = rng.uniform(
+                -3, 3, (B, Kq, 3)).astype(np.float32)
+            ep[f"{p}quad_scores"] = rng.normal(
+                size=(B, Kq, 2)).astype(np.float32)
+            ep[f"{p}normal_vector"] = rng.normal(
+                size=(B, Kq, 3)).astype(np.float32)
+            ep[f"{p}quad_size"] = rng.uniform(
+                0.5, 3, (B, Kq, 2)).astype(np.float32)
+        return ep
+
+    ep, ema_ep = make_ep(), make_ep()
+    theta = rng.uniform(-0.3, 0.3, B)
+    rot = np.zeros((B, 3, 3), np.float32)
+    rot[:, 0, 0] = np.cos(theta); rot[:, 0, 1] = -np.sin(theta)
+    rot[:, 1, 0] = np.sin(theta); rot[:, 1, 1] = np.cos(theta)
+    rot[:, 2, 2] = 1.0
+    ep["flip_x_axis"] = np.array([1, 0], np.int32)
+    ep["flip_y_axis"] = np.array([0, 1], np.int32)
+    ep["rot_mat"] = rot
+    ep["scale"] = rng.uniform(0.9, 1.1, B).astype(np.float32)
+
+    want = _ref_consistency_loss(ep, ema_ep, mean_size_arr, prefixes)
+    got, stats = get_consistency_loss(
+        {k: jnp.asarray(v) for k, v in ep.items()},
+        {k: jnp.asarray(v) for k, v in ema_ep.items()},
+        mean_size_arr, num_layer=num_layer)
+    np.testing.assert_allclose(float(got), want, rtol=2e-5)
+    assert np.isfinite(float(stats["consistency_loss"]))
