@@ -171,6 +171,50 @@ class GroupAllModule(nn.Module):
         return jnp.max(out, axis=2)  # (B, 1, C)
 
 
+class LFPModuleMSG(nn.Module):
+    """Learnable multi-scale feature propagation (PointnetLFPModuleMSG,
+    pointnet2_modules.py:418-497). Unused by the reference's main path but
+    part of its module surface.
+
+    Propagates features1 (at xyz1) onto xyz2: per (radius, nsample, mlp)
+    scale, ball-group features1 around the xyz2 centers, SharedMLP +
+    nsample max-pool, concat the xyz2-side skip features, then one shared
+    post-MLP; scale outputs are concatenated on channels. Unlike the
+    reference's torch spec, `mlps` lists OUTPUT channels only (Dense infers
+    the input width, so there is no `mlp_spec[0] += 3` bookkeeping)."""
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    post_mlp: Sequence[int]
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz2, xyz1, features2: Optional[jnp.ndarray],
+                 features1: Optional[jnp.ndarray], train: bool = False):
+        """xyz2 (B,N2,3) targets, xyz1 (B,N1,3) sources, features2 (B,N2,C2)
+        skip or None, features1 (B,N1,C1) -> (B, N2, len(mlps)*post[-1])."""
+        post = SharedMLP(self.post_mlp, name="post_mlp")
+        outs = []
+        for i, (radius, nsample, mlp) in enumerate(
+                zip(self.radii, self.nsamples, self.mlps)):
+            # unfused path: the xyz2 centers are not drawn from xyz1, so the
+            # fused ball_query_group's >=1-hit precondition does not hold
+            idx = ball_query(radius, nsample, xyz1, xyz2)
+            grouped_xyz = group_points(xyz1, idx) - xyz2[:, :, None, :]
+            if features1 is not None:
+                grouped = group_points(features1, idx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+            else:
+                grouped = grouped_xyz
+            new = jnp.max(SharedMLP(mlp, name=f"mlp{i}")(grouped, train=train),
+                          axis=2)  # (B, N2, mlp[-1])
+            if features2 is not None:
+                new = jnp.concatenate([new, features2], axis=-1)
+            outs.append(post(new, train=train))
+        return jnp.concatenate(outs, axis=-1)
+
+
 class FPModule(nn.Module):
     """Feature propagation: 3-NN inverse-distance upsampling + SharedMLP.
 

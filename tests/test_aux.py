@@ -12,7 +12,8 @@ import jax.numpy as jnp
 from omni_pq_tpu import losses
 from omni_pq_tpu.config import SCANNET_MEAN_SIZES
 from omni_pq_tpu.models import PQTransformer
-from omni_pq_tpu.models.pointnet2 import SAModuleMSG, GroupAllModule
+from omni_pq_tpu.models.pointnet2 import (SAModuleMSG, GroupAllModule,
+                                          LFPModuleMSG)
 from omni_pq_tpu.models.transformer import PointsObjClsModule, general_sampling
 from omni_pq_tpu.data.loader import DoubleLoader, Loader
 from tests.util import TINY, tiny_cloud
@@ -71,6 +72,30 @@ class TestExtraModules:
         nx, nf, inds = m.apply(v, xyz, feats)
         assert nx.shape == (1, 32, 3)
         assert nf.shape == (1, 32, 48)  # 24 + 24 concatenated
+
+    def test_lfp_module_msg(self, rng):
+        """LFPModuleMSG (pointnet2_modules.py:418-497): propagate features1
+        at xyz1 onto the (distinct) xyz2 set; post-MLP weights are shared
+        across scales; channel layout len(mlps)*post[-1]."""
+        import jax as _jax
+        xyz1 = jnp.asarray(tiny_cloud(rng, batch=2, n=128))
+        xyz2 = jnp.asarray(tiny_cloud(rng, batch=2, n=32))
+        f1 = jnp.asarray(rng.normal(size=(2, 128, 16)).astype(np.float32))
+        f2 = jnp.asarray(rng.normal(size=(2, 32, 8)).astype(np.float32))
+        m = LFPModuleMSG(radii=(0.3, 0.6), nsamples=(8, 8),
+                         mlps=((16, 24), (16, 24)), post_mlp=(32, 20))
+        v = m.init(_jax.random.PRNGKey(0), xyz2, xyz1, f2, f1)
+        # one shared post_mlp + one mlp per scale
+        names = set(v["params"].keys())
+        assert names == {"post_mlp", "mlp0", "mlp1"}, names
+        out = m.apply(v, xyz2, xyz1, f2, f1,
+                      mutable=False)
+        assert out.shape == (2, 32, 40)  # 2 scales x post[-1]=20
+        assert np.isfinite(np.asarray(out)).all()
+        # skip-less variant matches the reference's features2=None branch
+        v0 = m.init(_jax.random.PRNGKey(0), xyz2, xyz1, None, f1)
+        out0 = m.apply(v0, xyz2, xyz1, None, f1)
+        assert out0.shape == (2, 32, 40)
 
     def test_group_all(self, rng):
         xyz = jnp.asarray(tiny_cloud(rng, batch=1, n=64))
