@@ -257,3 +257,88 @@ class TestMetricUtil:
             labels, pred, iou_thresh=0.5, conf_thresh=0.5)
         assert (TP, FP, FN) == (1, 1, 1)
         assert p == 0.5 and r == 0.5
+
+
+def ref_ap_helper():
+    """Import the reference's ap_helper_pq directly as a parity oracle,
+    shimming the modules its 2021-era deps expect (numpy<2 layout, plyfile,
+    trimesh — none affect the metric code paths)."""
+    import types
+    shim = types.ModuleType("numpy.lib.function_base")
+    shim.vectorize = np.vectorize
+    sys.modules.setdefault("numpy.lib.function_base", shim)
+    ply = types.ModuleType("plyfile")
+    ply.PlyData, ply.PlyElement = object, object
+    sys.modules.setdefault("plyfile", ply)
+    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+    for p in ("/root/reference", "/root/reference/models",
+              "/root/reference/utils"):
+        sys.path.insert(0, p)
+    try:
+        import ap_helper_pq
+        return ap_helper_pq
+    except Exception:
+        return None
+    finally:
+        for _ in range(3):
+            sys.path.pop(0)
+
+
+class TestQuadF1ReferenceParity:
+    """Drive the reference's QUADAPCalculator (imported verbatim) and ours
+    on identical fixtures; F1 (plain + ceiling/floor-credited) and mAP/AR
+    must agree."""
+
+    @staticmethod
+    def _fixtures(rng, n_scenes=4):
+        scenes = []
+        for _ in range(n_scenes):
+            n_gt = rng.integers(2, 5)
+            gts, preds = [], []
+            for g in range(n_gt):
+                x0 = rng.uniform(-4, 4)
+                y0, y1 = sorted(rng.uniform(-4, 4, 2))
+                z1 = rng.uniform(2.0, 3.0)
+                gt = np.array([[x0, y0, z1], [x0, y1, z1],
+                               [x0, y1, 0], [x0, y0, 0]], np.float32)
+                gts.append(gt)
+                r = rng.uniform()
+                if r < 0.5:    # within SAME_THRES in order
+                    preds.append(gt + rng.uniform(-0.1, 0.1, (4, 3)))
+                elif r < 0.7:  # swapped order (the i^1 branch)
+                    preds.append(gt[[1, 0, 3, 2]]
+                                 + rng.uniform(-0.1, 0.1, (4, 3)))
+                elif r < 0.85:  # miss
+                    preds.append(gt + 1.5)
+            for _ in range(rng.integers(0, 3)):  # spurious
+                preds.append(rng.uniform(-5, 5, (4, 3)).astype(np.float32))
+            horiz = np.stack([g + [0, 0, 0.01] for g in gts])
+            pred_cls = [(0, evals.get_3d_box(rng.uniform(0.5, 2, 3),
+                                             rng.uniform(0, 6.3),
+                                             p.mean(0)), rng.uniform(0.2, 1))
+                        for p in preds]
+            gt_cls = [(0, evals.get_3d_box(rng.uniform(0.5, 2, 3),
+                                           rng.uniform(0, 6.3), g.mean(0)))
+                      for g in gts]
+            scenes.append((pred_cls, gt_cls, preds, gts, horiz))
+        return scenes
+
+    def test_f1_and_map_match_reference(self, rng):
+        ap = ref_ap_helper()
+        if ap is None:
+            pytest.skip("reference ap_helper_pq not importable")
+        import torch
+        ours = evals.QuadAPCalculator(0.25, {0: "quad"})
+        theirs = ap.QUADAPCalculator(0.25, {0: "quad"})
+        for pred_cls, gt_cls, preds, gts, horiz in self._fixtures(rng):
+            ours.step([pred_cls], [gt_cls], [preds], [gts], [horiz])
+            theirs.step([pred_cls], [gt_cls], [preds], [gts],
+                        [torch.from_numpy(horiz)])
+        for calculated in (False, True):
+            got = ours.compute_F1(calculated=calculated)
+            want = theirs.compute_F1(calculated=calculated)
+            np.testing.assert_allclose(got, want, atol=1e-9), calculated
+        got_m = ours.compute_metrics()
+        want_m = theirs.compute_metrics()
+        for k in ("mAP", "AR", "quad Average Precision", "quad Recall"):
+            np.testing.assert_allclose(got_m[k], want_m[k], atol=1e-9)
