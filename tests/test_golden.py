@@ -396,3 +396,94 @@ def test_consistency_loss_matches_reference_loops(rng):
         mean_size_arr, num_layer=num_layer)
     np.testing.assert_allclose(float(got), want, rtol=2e-5)
     assert np.isfinite(float(stats["consistency_loss"]))
+
+
+# ------------------------------- full supervised loss vs reference code
+
+def _ref_loss_helper():
+    """Import the reference's loss_helper_pq verbatim as an oracle, patching
+    its CUDA-only surface to CPU (`.cuda()` no-op, torch.cuda.FloatTensor)
+    and shimming the numpy<2 module layout its imports expect."""
+    import sys
+    import types
+    try:
+        import torch
+    except Exception:
+        return None, None
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+    shim = types.ModuleType("numpy.lib.function_base")
+    shim.vectorize = np.vectorize
+    sys.modules.setdefault("numpy.lib.function_base", shim)
+    for p in ("/root/reference", "/root/reference/models",
+              "/root/reference/utils"):
+        sys.path.insert(0, p)
+    try:
+        import loss_helper_pq
+        return loss_helper_pq, torch
+    except Exception:
+        return None, None
+    finally:
+        for _ in range(3):
+            sys.path.pop(0)
+
+
+def test_supervised_get_loss_matches_reference_code(rng):
+    """Runs the reference's get_loss (loss_helper_pq.py:412-486, imported
+    verbatim, CPU-patched) and ours on the identical end_points from a real
+    tiny-model forward + random labels; total and every per-family sub-loss
+    must agree."""
+    ref, torch = _ref_loss_helper()
+    if ref is None:
+        import pytest
+        pytest.skip("reference loss_helper_pq not importable")
+    import jax
+    from omni_pq_tpu.losses import get_loss
+    from omni_pq_tpu.models import PQTransformer
+    from tests.util import TINY, tiny_cloud
+    from tests.test_losses import make_labels
+
+    # the reference's get_loss ignores its num_layer arg when calling the
+    # sub-losses (compute_objectness_loss(end_points) etc. default to 6),
+    # so the fixture model must emit all 7 prefixes
+    import dataclasses
+    cfg = dataclasses.replace(TINY, num_decoder_layers=6)
+    model = PQTransformer(cfg)
+    pc = jnp.asarray(tiny_cloud(rng))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc)
+    ep = dict(jax.jit(model.apply)(variables, pc))
+    ep.update(make_labels(rng, B=2, N=cfg.num_points))
+
+    got, stats = get_loss(ep, SCANNET_MEAN_SIZES,
+                          num_layer=6, pc_loss=False)
+
+    int_keys = {"heading_class_label", "size_class_label", "sem_cls_label",
+                "seed_inds"}
+    tep = {}
+    for k, v in ep.items():
+        a = np.asarray(v)
+        if k in int_keys:
+            tep[k] = torch.from_numpy(a.astype(np.int64))
+        elif k in ("num_gt_boxes", "num_gt_quads"):
+            tep[k] = torch.from_numpy(
+                a.astype(np.int64).reshape(-1, 1))  # reference expects Bx1
+        else:
+            tep[k] = torch.from_numpy(a.astype(np.float32))
+
+    class _Cfg:
+        num_heading_bin = TINY.num_heading_bin
+        num_size_cluster = TINY.num_size_cluster
+        num_class = TINY.num_class
+        mean_size_arr = np.asarray(SCANNET_MEAN_SIZES)
+
+    want, ref_ep = ref.get_loss(tep, _Cfg, num_layer=6, pc_loss=False)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    for ours_k, ref_k in [("vote_loss", "vote_loss"),
+                          ("objectness_loss", "objectness_loss"),
+                          ("box_loss", "box_loss"),
+                          ("sem_cls_loss_sum", "sem_cls_loss_sum"),
+                          ("quad_score_loss_sum", "quad_score_loss_sum"),
+                          ("quad_loss_sum", "quad_loss_sum")]:
+        np.testing.assert_allclose(
+            float(stats[ours_k]), float(ref_ep[ref_k]), rtol=1e-4,
+            err_msg=ours_k)
