@@ -487,3 +487,138 @@ def test_supervised_get_loss_matches_reference_code(rng):
         np.testing.assert_allclose(
             float(stats[ours_k]), float(ref_ep[ref_k]), rtol=1e-4,
             err_msg=ours_k)
+
+
+def test_consistency_loss_matches_reference_code(rng):
+    """Runs the reference's mean_teacher_consistency_util.get_consistency_loss
+    verbatim (CPU-patched import, same mechanism as the get_loss test) and
+    ours on identical student/teacher end_points; totals and every stat key
+    must agree. The reference hard-codes 7 prefixes (range(5) heads), so the
+    fixture carries all of them."""
+    ref, torch = _ref_loss_helper()
+    if ref is None:
+        import pytest
+        pytest.skip("reference modules not importable")
+    import sys
+    for p in ("/root/reference", "/root/reference/models",
+              "/root/reference/utils"):
+        sys.path.insert(0, p)
+    try:
+        from models.utils import mean_teacher_consistency_util as ref_mt
+    except Exception:
+        import pytest
+        pytest.skip("reference consistency util not importable")
+    finally:
+        for _ in range(3):
+            sys.path.pop(0)
+
+    from omni_pq_tpu.losses.consistency import get_consistency_loss
+
+    B, K, Kq, C, S = 2, 8, 6, 18, 18
+    prefixes = ["last_", "proposal_"] + [f"{i}head_" for i in range(5)]
+
+    def make_ep():
+        ep = {}
+        for p in prefixes:
+            ep[f"{p}center"] = rng.uniform(-3, 3, (B, K, 3)).astype(np.float32)
+            ep[f"{p}objectness_scores"] = rng.normal(
+                size=(B, K, 2)).astype(np.float32)
+            ep[f"{p}sem_cls_scores"] = rng.normal(
+                size=(B, K, C)).astype(np.float32)
+            ep[f"{p}size_scores"] = rng.normal(
+                size=(B, K, S)).astype(np.float32)
+            ep[f"{p}size_residuals"] = rng.normal(
+                size=(B, K, S, 3)).astype(np.float32) * 0.1
+            ep[f"{p}quad_center"] = rng.uniform(
+                -3, 3, (B, Kq, 3)).astype(np.float32)
+            ep[f"{p}quad_scores"] = rng.normal(
+                size=(B, Kq, 2)).astype(np.float32)
+            ep[f"{p}normal_vector"] = rng.normal(
+                size=(B, Kq, 3)).astype(np.float32)
+            ep[f"{p}quad_size"] = rng.uniform(
+                0.5, 3, (B, Kq, 2)).astype(np.float32)
+        return ep
+
+    ep, ema_ep = make_ep(), make_ep()
+    theta = rng.uniform(-0.3, 0.3, B)
+    rot = np.zeros((B, 3, 3), np.float32)
+    rot[:, 0, 0] = np.cos(theta); rot[:, 0, 1] = -np.sin(theta)
+    rot[:, 1, 0] = np.sin(theta); rot[:, 1, 1] = np.cos(theta)
+    rot[:, 2, 2] = 1.0
+    aug = {"flip_x_axis": np.array([1, 0], np.int64),
+           "flip_y_axis": np.array([0, 1], np.int64),
+           "rot_mat": rot,
+           "scale": rng.uniform(0.9, 1.1, B).astype(np.float32)}
+    ep.update(aug)
+
+    got, stats = get_consistency_loss(
+        {k: jnp.asarray(v) for k, v in ep.items()},
+        {k: jnp.asarray(v) for k, v in ema_ep.items()},
+        SCANNET_MEAN_SIZES, num_layer=6)
+
+    # the reference mutates ema tensors in place -> fresh copies
+    tep = {k: torch.from_numpy(np.array(v)) for k, v in ep.items()}
+    tema = {k: torch.from_numpy(np.array(v)) for k, v in ema_ep.items()}
+
+    class _Cfg:
+        mean_size_arr = np.asarray(SCANNET_MEAN_SIZES)
+
+    want, ref_ep = ref_mt.get_consistency_loss(tep, tema, _Cfg)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    for k in ("center_consistency_loss", "class_consistency_loss",
+              "size_consistency_loss", "consistency_loss",
+              "quad_center_consistency_loss_sum",
+              "quad_normal_consistency_loss_sum",
+              "quad_size_consistency_loss_sum", "quad_consistency_loss_sum"):
+        np.testing.assert_allclose(float(stats[k]), float(ref_ep[k]),
+                                   rtol=2e-4, err_msg=k)
+
+
+def test_arkit_pc_loss_matches_reference_code(rng):
+    """Runs the reference's arkit_loss_util.get_arkit_pc_loss verbatim
+    (CPU-patched, per-scene/per-quad Python loops) against our masked
+    (B, Q, P) jnp version on an identical double-batch fixture."""
+    ref, torch = _ref_loss_helper()
+    if ref is None:
+        import pytest
+        pytest.skip("reference modules not importable")
+    import sys
+    for p in ("/root/reference", "/root/reference/models",
+              "/root/reference/utils"):
+        sys.path.insert(0, p)
+    try:
+        from models.utils import arkit_loss_util as ref_ak
+    except Exception:
+        import pytest
+        pytest.skip("reference arkit util not importable")
+    finally:
+        for _ in range(3):
+            sys.path.pop(0)
+
+    from omni_pq_tpu.losses import get_arkit_pc_loss
+
+    B, Q, K2 = 2, 6, 5
+    ep = {
+        "last_quad_center": rng.uniform(-3, 3, (2 * B, Q, 3)).astype(np.float32),
+        "last_normal_vector": rng.normal(size=(2 * B, Q, 3)).astype(np.float32),
+        "last_quad_size": rng.uniform(0.5, 3, (2 * B, Q, 2)).astype(np.float32),
+        "last_quad_scores": rng.normal(size=(2 * B, Q, 2)).astype(np.float32),
+    }
+    weak = {
+        "center_label": rng.uniform(-2, 2, (B, K2, 3)).astype(np.float32),
+        "size_label": rng.uniform(0.5, 2, (B, K2, 3)).astype(np.float32),
+        "num_gt_boxes": np.array([4, 2], np.int64),
+    }
+
+    got_loss, got_col = get_arkit_pc_loss(
+        {k: jnp.asarray(v) for k, v in ep.items()},
+        {k: jnp.asarray(v) for k, v in weak.items()})
+
+    tep = {k: torch.from_numpy(v) for k, v in ep.items()}
+    tweak = {"center_label": torch.from_numpy(weak["center_label"]),
+             "size_label": torch.from_numpy(weak["size_label"]),
+             "num_gt_boxes": torch.from_numpy(
+                 weak["num_gt_boxes"].reshape(-1, 1))}
+    want_loss, want_col = ref_ak.get_arkit_pc_loss(tep, tweak, None)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-4)
+    np.testing.assert_allclose(float(got_col), float(want_col))
