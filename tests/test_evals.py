@@ -342,3 +342,79 @@ class TestQuadF1ReferenceParity:
         want_m = theirs.compute_metrics()
         for k in ("mAP", "AR", "quad Average Precision", "quad Recall"):
             np.testing.assert_allclose(got_m[k], want_m[k], atol=1e-9)
+
+
+class TestParseQuadReferenceParity:
+    """Run the reference's parse_quad_predictions verbatim (torch CPU,
+    .cuda() no-op) and ours on identical end_points: NMS keep mask, decoded
+    8-corner boxes, 4-corner quads, and confidences must all agree."""
+
+    def test_parse_matches_reference(self, rng):
+        ap = ref_ap_helper()
+        if ap is None:
+            pytest.skip("reference ap_helper_pq not importable")
+        import torch
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        torch.cuda.FloatTensor = torch.FloatTensor
+
+        B, K = 2, 12
+        normal = rng.normal(size=(B, K, 3)).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        ep = {
+            "last_quad_center": rng.uniform(-3, 3, (B, K, 3)).astype(np.float32),
+            "last_quad_size": rng.uniform(0.5, 3, (B, K, 2)).astype(np.float32),
+            "last_normal_vector": normal,
+            "last_quad_scores": rng.normal(size=(B, K, 2)).astype(np.float32),
+        }
+        cfg = {"nms_iou": 0.25, "use_old_type_nms": False,
+               "conf_thresh": 0.05}
+
+        got_cls, got_mask, got_corners = evals.parse_quad_predictions(
+            ep, cfg, prefix="last_")
+        tep = {k: torch.from_numpy(v) for k, v in ep.items()}
+        want_cls, want_mask, want_corners = ap.parse_quad_predictions(
+            tep, cfg, prefix="last_")
+
+        np.testing.assert_array_equal(got_mask, want_mask)
+        for i in range(B):
+            assert len(got_cls[i]) == len(want_cls[i])
+            for (gc, gbox, gp), (wc, wbox, wp) in zip(got_cls[i], want_cls[i]):
+                assert gc == wc
+                np.testing.assert_allclose(gbox, wbox, atol=2e-5)
+                np.testing.assert_allclose(gp, wp, atol=1e-6)
+            assert len(got_corners[i]) == len(want_corners[i])
+            for g4, w4 in zip(got_corners[i], want_corners[i]):
+                np.testing.assert_allclose(g4, w4, atol=2e-5)
+
+    def test_parse_gt_matches_reference(self, rng):
+        ap = ref_ap_helper()
+        if ap is None:
+            pytest.skip("reference ap_helper_pq not importable")
+        import torch
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+        B, K2 = 2, 32  # MAX_NUM_QUAD
+        normal = rng.normal(size=(B, K2, 3)).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        ep = {
+            "gt_quad_centers": rng.uniform(-3, 3, (B, K2, 3)).astype(np.float32),
+            "gt_quad_sizes": rng.uniform(0.5, 3, (B, K2, 2)).astype(np.float32),
+            "gt_normal_vectors": normal,
+            # the reference indexes num arrays as [i, j] -> per-quad
+            # replicated scalars, the dataset's actual layout
+            "num_gt_quads": np.tile([[4], [2]], (1, K2)),
+            "num_total_quads": np.tile([[6], [3]], (1, K2)),
+        }
+        got_cls, got_corners = evals.parse_quad_groundtruths(ep, {})
+        tep = dict(ep)
+        for k in ("gt_quad_centers", "gt_quad_sizes", "gt_normal_vectors"):
+            tep[k] = torch.from_numpy(ep[k])
+        want_cls, want_corners = ap.parse_quad_groundtruths(tep, {})
+        for i in range(B):
+            assert len(got_cls[i]) == len(want_cls[i])
+            for (gc, gbox), (wc, wbox) in zip(got_cls[i], want_cls[i]):
+                assert gc == wc
+                np.testing.assert_allclose(gbox, wbox, atol=2e-5)
+            assert len(got_corners[i]) == len(want_corners[i])
+            for g4, w4 in zip(got_corners[i], want_corners[i]):
+                np.testing.assert_allclose(g4, w4, atol=2e-5)
