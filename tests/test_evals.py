@@ -418,3 +418,58 @@ class TestParseQuadReferenceParity:
             assert len(got_corners[i]) == len(want_corners[i])
             for g4, w4 in zip(got_corners[i], want_corners[i]):
                 np.testing.assert_allclose(g4, w4, atol=2e-5)
+
+
+class TestParseObjectsReferenceParity:
+    """parse_predictions (object boxes) vs the reference's code across all
+    three NMS variants; remove_empty_box=False as in the reference drivers
+    (train.py/eval.py set it False; our in-box test is a documented bbox
+    approximation of extract_pc_in_box3d otherwise)."""
+
+    class _DC:
+        num_class = 18
+
+        def class2angle(self, cls, residual):
+            return float(residual)
+
+        def class2size(self, cls, residual):
+            return np.asarray(
+                __import__("omni_pq_tpu.config", fromlist=["x"])
+                .SCANNET_MEAN_SIZES)[int(cls)] + residual
+
+    def _ep(self, rng, B=2, K=12):
+        return {
+            "last_center": rng.uniform(-3, 3, (B, K, 3)).astype(np.float32),
+            "last_heading_scores": rng.normal(size=(B, K, 1)).astype(np.float32),
+            "last_heading_residuals": rng.uniform(
+                -0.3, 0.3, (B, K, 1)).astype(np.float32),
+            "last_size_scores": rng.normal(size=(B, K, 18)).astype(np.float32),
+            "last_size_residuals": rng.normal(
+                size=(B, K, 18, 3)).astype(np.float32) * 0.1,
+            "last_sem_cls_scores": rng.normal(size=(B, K, 18)).astype(np.float32),
+            "last_objectness_scores": rng.normal(size=(B, K, 2)).astype(np.float32),
+        }
+
+    @pytest.mark.parametrize("variant", ["2d", "3d", "3d_cls"])
+    def test_parse_predictions_matches_reference(self, rng, variant):
+        ap = ref_ap_helper()
+        if ap is None:
+            pytest.skip("reference ap_helper_pq not importable")
+        import torch
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+        ep = self._ep(rng)
+        cfg = {"dataset_config": self._DC(), "remove_empty_box": False,
+               "use_3d_nms": variant != "2d", "cls_nms": variant == "3d_cls",
+               "use_old_type_nms": False, "nms_iou": 0.25,
+               "conf_thresh": 0.05, "per_class_proposal": variant == "3d_cls"}
+        got_cls, got_mask = evals.parse_predictions(ep, cfg, prefix="last_")
+        tep = {k: torch.from_numpy(v) for k, v in ep.items()}
+        want_cls, want_mask = ap.parse_predictions(tep, cfg, prefix="last_")
+        np.testing.assert_array_equal(got_mask, want_mask)
+        for i in range(len(got_cls)):
+            assert len(got_cls[i]) == len(want_cls[i])
+            for (gc, gbox, gp), (wc, wbox, wp) in zip(got_cls[i], want_cls[i]):
+                assert gc == wc
+                np.testing.assert_allclose(gbox, wbox, atol=2e-5)
+                np.testing.assert_allclose(gp, wp, atol=1e-6)
