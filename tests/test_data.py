@@ -192,3 +192,59 @@ class TestARKit:
         assert s["center_label"].shape == (64, 3)
         assert s["num_gt_boxes"] == 4
         assert "gt_quad_centers" not in s  # weak split has no quad GT
+
+
+class TestQuadGeometryReferenceParity:
+    """get_normal / rectangle / planarity vs the reference's scannet_planes
+    code imported verbatim (its dump_helper import chain is shimmed; the
+    geometry functions are pure numpy/torch)."""
+
+    @staticmethod
+    def _ref_planes():
+        import sys
+        import types
+        shim = types.ModuleType("numpy.lib.function_base")
+        shim.vectorize = np.vectorize
+        sys.modules.setdefault("numpy.lib.function_base", shim)
+        ply = types.ModuleType("plyfile")
+        ply.PlyData, ply.PlyElement = object, object
+        sys.modules.setdefault("plyfile", ply)
+        sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
+        for p in ("/root/reference", "/root/reference/models",
+                  "/root/reference/utils", "/root/reference/scannet"):
+            sys.path.insert(0, p)
+        try:
+            import scannet_planes
+            return scannet_planes
+        except Exception:
+            return None
+        finally:
+            for _ in range(4):
+                sys.path.pop(0)
+
+    def test_geometry_matches_reference(self, rng):
+        ref = self._ref_planes()
+        if ref is None:
+            pytest.skip("reference scannet_planes not importable")
+        from omni_pq_tpu.data.quads import (four_points_in_same_plane,
+                                            get_normal, rectangle)
+        center = np.zeros(3)
+        for trial in range(30):
+            if trial % 3 == 0:  # vertical wall (singular x,y,1 system)
+                x0, y0, y1, z1 = rng.uniform(0.5, 4, 4)
+                qv = np.array([[x0, y0, 0], [x0, y1, 0],
+                               [x0, y1, z1], [x0, y0, z1]], np.float64)
+            elif trial % 3 == 1:  # tilted plane
+                qv = rng.uniform(-3, 3, (4, 3))
+                qv[:, 2] = 0.3 * qv[:, 0] - 0.2 * qv[:, 1] + 1.0
+            else:  # general (usually non-planar)
+                qv = rng.uniform(-3, 3, (4, 3))
+            qv += rng.normal(scale=1e-3, size=(4, 3))
+            assert (four_points_in_same_plane(*qv, 100)
+                    == ref.isFourPointsInSamePlane(*qv, 100))
+            np.testing.assert_allclose(get_normal(qv),
+                                       ref.get_normal(qv, center),
+                                       atol=1e-8, err_msg=f"trial {trial}")
+            np.testing.assert_allclose(rectangle(qv),
+                                       ref.rectangle(qv, center),
+                                       atol=1e-8, err_msg=f"trial {trial}")
