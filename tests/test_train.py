@@ -266,3 +266,47 @@ class TestGradAccumulation:
         p2 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
         # second micro-step applies the update
         assert not np.allclose(p1, p2)
+
+
+def test_lr_schedule_matches_reference_scheduler():
+    """Step the reference's GradualWarmupScheduler + CosineAnnealingLR
+    (utils/lr_scheduler.py, imported verbatim) through a whole training's
+    iterations and assert our warmup_cosine reproduces the lr at every
+    step, for both param groups."""
+    import sys
+    sys.path.insert(0, "/root/reference/utils")
+    try:
+        import lr_scheduler as ref_sched
+    except Exception:
+        pytest.skip("reference lr_scheduler not importable")
+    finally:
+        sys.path.pop(0)
+    import torch
+
+    from omni_pq_tpu.train.schedule import warmup_cosine
+
+    n_iter_per_epoch, max_epoch, warmup_epoch, mult = 7, 12, 2, 100.0
+    total = max_epoch * n_iter_per_epoch
+    params = [torch.nn.Parameter(torch.zeros(1)) for _ in range(2)]
+    opt = torch.optim.AdamW([{"params": [params[0]], "lr": 2e-3},
+                             {"params": [params[1]], "lr": 1e-4}])
+
+    class _Args:
+        lr_scheduler = "cosine"
+        warmup_epoch = 2
+        warmup_multiplier = 100.0
+
+    _Args.max_epoch = max_epoch
+    sched = ref_sched.get_scheduler(opt, n_iter_per_epoch, _Args)
+
+    ours = [warmup_cosine(lr, total_steps=total,
+                          warmup_steps=warmup_epoch * n_iter_per_epoch,
+                          warmup_multiplier=mult) for lr in (2e-3, 1e-4)]
+    for step in range(total):
+        for g, f in zip(opt.param_groups, ours):
+            # our schedule computes in f32 on device; torch is f64 host —
+            # tolerance covers the cosine tail near eta_min
+            np.testing.assert_allclose(
+                g["lr"], float(f(step)), rtol=1e-5, atol=1e-9,
+                err_msg=f"step {step}")
+        sched.step()
