@@ -374,3 +374,33 @@ class TestLegacyDistance:
         assert not keep[~layout].any()           # only layout points kept
         assert keep.any()                        # the filter keeps something
         assert keep.sum() < layout.sum()         # ... but not everything
+
+
+def test_nn_distance_matches_reference_code(rng):
+    """ops/nn_distance vs the reference's utils/nn_distance.py imported
+    verbatim: distances, indices, and the l1smooth (huber) variant."""
+    import sys
+    sys.path.insert(0, "/root/reference/utils")
+    try:
+        import nn_distance as ref_nd
+    except Exception:
+        pytest.skip("reference nn_distance not importable")
+    finally:
+        sys.path.pop(0)
+    import torch
+
+    from omni_pq_tpu.ops.nn_distance import nn_distance, huber_loss
+
+    a = rng.uniform(-3, 3, (2, 40, 3)).astype(np.float32)
+    b = rng.uniform(-3, 3, (2, 25, 3)).astype(np.float32)
+    for kwargs in ({}, {"l1smooth": True}, {"l1": True}):
+        got = nn_distance(jnp.asarray(a), jnp.asarray(b), **kwargs)
+        want = ref_nd.nn_distance(torch.from_numpy(a), torch.from_numpy(b),
+                                  **kwargs)
+        for g, w, name in zip(got, want, ("dist1", "idx1", "dist2", "idx2")):
+            np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=1e-5,
+                                       err_msg=f"{kwargs} {name}")
+    x = rng.normal(size=(64,)).astype(np.float32) * 2
+    np.testing.assert_allclose(
+        np.asarray(huber_loss(jnp.asarray(x), delta=1.0)),
+        ref_nd.huber_loss(torch.from_numpy(x), delta=1.0).numpy(), atol=1e-6)
