@@ -172,6 +172,10 @@ def estimate_normals(points: np.ndarray, k: int = 100,
     n = len(points)
     center = points.mean(0)
     center[2] = (points[:, 2].max() + center[2]) / 2
+    from ..native import estimate_normals_native
+    native = estimate_normals_native(points, min(k, n), center)
+    if native is not None:
+        return native.astype(np.float64)
     normals = np.zeros((n, 3))
     for start in range(0, n, chunk):
         blk = points[start:start + chunk]

@@ -53,6 +53,10 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_float)]
+            lib.estimate_normals.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float)]
             _lib = lib
         except Exception:
             _lib = None
@@ -114,6 +118,23 @@ def compute_votes(pc: np.ndarray, instance: np.ndarray,
                       _fptr(gtc), len(gtc), _fptr(votes), _fptr(mask),
                       _iptr(pinst))
     return votes, mask, pinst
+
+
+def estimate_normals_native(points: np.ndarray, k: int,
+                            viewpoint: np.ndarray):
+    """Exact k-NN PCA normals (grid-hash + 3x3 Jacobi in C++), flipped so
+    dot(p - viewpoint, n) >= 0 — the native replacement for the O(n^2)
+    numpy path in data/preprocess.estimate_normals (the reference does this
+    offline step in pymeshlab, also native). Returns None when the native
+    lib is unavailable so the caller can fall back."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(points[:, :3], dtype=np.float32)
+    vp = np.ascontiguousarray(viewpoint, dtype=np.float32)
+    out = np.empty((len(pts), 3), np.float32)
+    lib.estimate_normals(_fptr(pts), len(pts), int(k), _fptr(vp), _fptr(out))
+    return out
 
 
 def gather_rows(src: np.ndarray, choices: np.ndarray) -> np.ndarray:

@@ -272,3 +272,37 @@ class TestCompileCache:
             _jax.config.update("jax_compilation_cache_dir", prev_dir)
             _jax.config.update("jax_include_full_tracebacks_in_locations",
                                prev_loc)
+
+
+class TestNativeNormals:
+    def test_native_matches_numpy_pca(self, rng, monkeypatch):
+        """Native grid-hash k-NN PCA normals vs the exact numpy path on a
+        two-plane scene: same (unit) normals up to eigenvector sign."""
+        from omni_pq_tpu.data import preprocess
+        from omni_pq_tpu import native as native_mod
+        if native_mod.get_lib() is None:
+            pytest.skip("native lib unavailable")
+        n = 800
+        wall = np.stack([np.full(n // 2, 2.0),
+                         rng.uniform(-3, 3, n // 2),
+                         rng.uniform(0, 2.5, n // 2)], axis=1)
+        floor = np.stack([rng.uniform(-3, 3, n // 2),
+                          rng.uniform(-3, 3, n // 2),
+                          np.zeros(n // 2)], axis=1)
+        pts = np.concatenate([wall, floor]) + rng.normal(
+            scale=1e-3, size=(n, 3))
+        got = preprocess.estimate_normals(pts, k=24)
+        monkeypatch.setattr(preprocess, "estimate_normals_native",
+                            lambda *a: None, raising=False)
+        monkeypatch.setattr(native_mod, "estimate_normals_native",
+                            lambda *a: None)
+        want = preprocess.estimate_normals(pts, k=24)
+        np.testing.assert_allclose(np.linalg.norm(got, axis=1), 1.0,
+                                   atol=1e-5)
+        agree = np.abs(np.sum(got * want, axis=1))
+        assert (agree > 0.999).mean() > 0.99, agree.min()
+        # orientation convention: away from the raised scene center
+        center = pts.mean(0)
+        center[2] = (pts[:, 2].max() + center[2]) / 2
+        outward = np.einsum("ni,ni->n", pts - center, got)
+        assert (outward >= -1e-6).all()
