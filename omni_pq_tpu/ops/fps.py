@@ -47,8 +47,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
-                col_ref):
+def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, col_ref):
     B, S, L = x_ref.shape
     npoint = pl.num_programs(0)
     i = pl.program_id(0)
@@ -56,11 +55,10 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
     @pl.when(i == 0)
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
-        # hoisted loop invariants: |p|^2 (reused in the fused distance form),
-        # the original-index map of the packed layout, and the padding/
-        # origin-skip mask folded into the initial min-dist sign bias
+        # hoisted loop invariants: the original-index map of the packed
+        # layout, and the padding/origin-skip mask (from |p|^2, used only
+        # here) folded into the initial min-dist sign bias
         pn = x * x + y * y + z * z
-        pn_ref[:] = pn
         sub = jax.lax.broadcasted_iota(jnp.int32, (B, S, L), 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, S, L), 2)
         col_ref[:] = sub * L + lane
@@ -74,7 +72,6 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
     @pl.when(i > 0)
     def _():
         x, y, z = x_ref[:], y_ref[:], z_ref[:]
-        pn = pn_ref[:]
         cols = col_ref[:]
         # extract the previously selected point's coords with a one-hot
         # reduction — exactly one lane matches, so the two-stage (lane,
@@ -82,13 +79,16 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
         # dynamic lane slices + 128-wide select — measured SLOWER, 9.2 vs
         # 8.4 ms at sa1; the scalar-driven slices serialize.)
         #
-        # Hardware-exactness note: on real TPUs the fused distance form
-        # below differs from the oracle's direct |p-c|^2 by ULPs (FMA /
-        # excess precision), which can flip argmax ties deep in the
-        # selection tail — measured 0-2 of 512 indices, first at ~#507.
-        # Interpret-mode tests are bitwise; hardware parity is
-        # distributional, like the reference's own CUDA reduction-order
-        # tie-breaks (sampling_gpu.cu:79-177).
+        # Exactness note: the distance MUST be the direct |p - c|^2 in the
+        # oracle's evaluation order. The algebraic rearrangement
+        # |p|^2 - 2 p.c + |c|^2 (one fewer pass, |p|^2 hoisted) rounds
+        # differently and flips argmax near-ties — found at shape
+        # (2, 5000) step 393 in INTERPRET mode, i.e. the rearrangement
+        # alone breaks the bitwise gate, not just hardware FMA (the same
+        # lesson as the rejected MXU distance form in ball_query,
+        # benchmarks/TUNING.md). Hardware can still show 0-2/512 tail
+        # tie-flips from FMA contraction, like the reference's own CUDA
+        # reduction-order tie-breaks (sampling_gpu.cu:79-177).
         last = last_ref[:]
         onehot = (cols == last).astype(jnp.float32)
 
@@ -97,9 +97,8 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, mind_ref, last_ref, pn_ref,
             return jnp.sum(t, axis=1, keepdims=True)
 
         cx, cy, cz = _extract(x), _extract(y), _extract(z)
-        cn = cx * cx + cy * cy + cz * cz
-        # fused |p - c|^2 = |p|^2 - 2 p.c + |c|^2
-        d = pn - 2.0 * (x * cx + y * cy + z * cz) + cn
+        dx, dy, dz = x - cx, y - cy, z - cz
+        d = dx * dx + dy * dy + dz * dz
         mind = jnp.minimum(mind_ref[:], d)
         mind_ref[:] = mind
         m = jnp.max(jnp.max(mind, axis=2, keepdims=True), axis=1,
@@ -146,7 +145,6 @@ def fps(xyz: jax.Array, npoint: int) -> jax.Array:
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((bc, _SUB, lanes), jnp.float32),
                             pltpu.VMEM((bc, 1, 1), jnp.int32),
-                            pltpu.VMEM((bc, _SUB, lanes), jnp.float32),
                             pltpu.VMEM((bc, _SUB, lanes), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),

@@ -70,6 +70,19 @@ class TestFPS:
         want = np.asarray(ops.fps_ref(jnp.asarray(xyz), 32))
         np.testing.assert_array_equal(got, want)
 
+    def test_pallas_bitwise_through_near_ties(self):
+        """Regression: uniform(0.5, 5) at (2, 5000) hits a min-dist near-tie
+        at selection step 393 (values 3.6e-7 apart in relative terms). The
+        kernel's old |p|^2 - 2p.c + |c|^2 rearrangement rounded it the other
+        way from the oracle's direct |p - c|^2 IN INTERPRET MODE — the
+        bitwise gate must hold through ties, so the kernel now uses the
+        direct form."""
+        r = np.random.default_rng(0)
+        xyz = jnp.asarray(r.uniform(0.5, 5, (2, 5000, 3)).astype(np.float32))
+        got = np.asarray(ops.fps(xyz, 512))
+        want = np.asarray(ops.fps_ref(xyz, 512))
+        np.testing.assert_array_equal(got, want)
+
     def test_spread(self, rng):
         # selected points should be well-spread: min pairwise distance of the
         # FPS subset must exceed that of a random subset
