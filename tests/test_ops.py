@@ -123,6 +123,36 @@ class TestBallQuery:
         want = np.asarray(ops.ball_query_ref(0.4, 16, jnp.asarray(xyz), jnp.asarray(ctr)))
         np.testing.assert_array_equal(got, want)
 
+    def test_boundary_disagreements_are_1ulp_only(self, rng):
+        """Adversarial shells at radius*(1 +- 1e-6) expose that XLA's FMA
+        contraction makes d^2 vs r^2 membership fusion/shape-dependent at
+        the last ULP (kernel and oracle can each round a boundary point
+        either way; the reference's own CUDA differs from torch-CPU the
+        same way). Property: every kernel/oracle index disagreement lies
+        within 3e-6 relative of the radius boundary — never an interior
+        point."""
+        B, N, S, r = 2, 2048, 128, 0.4
+        ctr = rng.uniform(1, 4, (B, S, 3)).astype(np.float32)
+        pts = []
+        for b in range(B):
+            base = ctr[b][rng.integers(0, S, N)]
+            dirs = rng.normal(size=(N, 3))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            rad = r * (1 + rng.normal(scale=1e-6, size=(N, 1)))
+            pts.append(base + dirs * rad)
+        xyz = np.stack(pts).astype(np.float32)
+        a = np.asarray(ops.ball_query(r, 64, jnp.asarray(xyz),
+                                      jnp.asarray(ctr)))
+        b = np.asarray(ops.ball_query_ref(r, 64, jnp.asarray(xyz),
+                                          jnp.asarray(ctr)))
+        for bi, si in np.argwhere((a != b).any(-1)):
+            diff = set(a[bi, si].tolist()) ^ set(b[bi, si].tolist())
+            for j in diff:
+                d = np.linalg.norm(
+                    xyz[bi, j].astype(np.float64)
+                    - ctr[bi, si].astype(np.float64))
+                assert abs(d - r) / r < 3e-6, (bi, si, j, d)
+
     def test_no_hits_gives_zero(self):
         xyz = jnp.ones((1, 100, 3)) * 5.0
         ctr = jnp.zeros((1, 10, 3))
