@@ -473,3 +473,54 @@ class TestParseObjectsReferenceParity:
                 assert gc == wc
                 np.testing.assert_allclose(gbox, wbox, atol=2e-5)
                 np.testing.assert_allclose(gp, wp, atol=1e-6)
+
+    def test_parse_groundtruths_and_ap_match_reference(self, rng):
+        """Object GT decode + the object APCalculator's mAP/AR/per-class
+        numbers vs the reference's code on a shared prediction set."""
+        ap = ref_ap_helper()
+        if ap is None:
+            pytest.skip("reference ap_helper_pq not importable")
+        import torch
+        torch.Tensor.cuda = lambda self, *a, **k: self
+
+        B, K2 = 2, 10
+        labels = {
+            "center_label": rng.uniform(-3, 3, (B, K2, 3)).astype(np.float32),
+            "heading_class_label": np.zeros((B, K2), np.int64),
+            "heading_residual_label": rng.uniform(
+                -0.3, 0.3, (B, K2)).astype(np.float32),
+            "size_class_label": rng.integers(0, 18, (B, K2)),
+            "size_residual_label": rng.normal(
+                size=(B, K2, 3)).astype(np.float32) * 0.1,
+            "sem_cls_label": rng.integers(0, 18, (B, K2)),
+            "box_label_mask": (rng.uniform(size=(B, K2)) < 0.7
+                               ).astype(np.float32),
+        }
+        cfg = {"dataset_config": self._DC()}
+        got_gt = evals.parse_groundtruths(labels, cfg)
+        tlab = {k: torch.from_numpy(np.asarray(v)) for k, v in labels.items()}
+        want_gt = ap.parse_groundtruths(tlab, cfg)
+        for i in range(B):
+            assert len(got_gt[i]) == len(want_gt[i])
+            for (gc, gbox), (wc, wbox) in zip(got_gt[i], want_gt[i]):
+                assert gc == wc
+                np.testing.assert_allclose(gbox, wbox, atol=2e-5)
+
+        # predictions: GT boxes jittered + spurious, through both calculators
+        pred = []
+        for i in range(B):
+            cur = [(c, box + rng.normal(scale=0.05, size=(8, 3)),
+                    rng.uniform(0.3, 1.0)) for c, box in got_gt[i]]
+            cur.append((int(rng.integers(0, 18)),
+                        evals.get_3d_box(rng.uniform(0.5, 2, 3), 0.3,
+                                         rng.uniform(-2, 2, 3)), 0.9))
+            pred.append(cur)
+        ours = evals.APCalculator(0.25, {i: str(i) for i in range(18)})
+        theirs = ap.APCalculator(0.25, {i: str(i) for i in range(18)})
+        ours.step(pred, got_gt)
+        theirs.step(pred, want_gt)
+        got_m, want_m = ours.compute_metrics(), theirs.compute_metrics()
+        assert set(got_m) == set(want_m)
+        for k in got_m:
+            np.testing.assert_allclose(got_m[k], want_m[k], atol=1e-9,
+                                       err_msg=k)
