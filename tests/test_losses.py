@@ -404,3 +404,40 @@ def test_nn_distance_matches_reference_code(rng):
     np.testing.assert_allclose(
         np.asarray(huber_loss(jnp.asarray(x), delta=1.0)),
         ref_nd.huber_loss(torch.from_numpy(x), delta=1.0).numpy(), atol=1e-6)
+
+
+def test_get_loss_empty_scene_finite(model_out):
+    """A scene with zero GT boxes, zero quads, and an all-zero vote mask
+    (sparse/empty real-world scans) must yield finite losses AND finite
+    gradients — every normalizer in the reference carries a +1e-6 guard
+    (loss_helper_pq.py:84,168,251 etc.); this pins our ports doing the
+    same."""
+    from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+    from tests.util import TINY
+
+    model, variables, ep, pc = model_out
+    ep = dict(ep)
+    rng = np.random.default_rng(0)
+    lab = make_labels(rng, B=2, N=TINY.num_points)
+    lab["num_gt_boxes"] = jnp.zeros(2, jnp.int32)
+    lab["num_gt_quads"] = jnp.zeros(2, jnp.int32)
+    lab["vote_label_mask"] = jnp.zeros_like(lab["vote_label_mask"])
+    ep.update(lab)
+
+    loss, stats = losses.get_loss(ep, SCANNET_MEAN_SIZES,
+                                  num_layer=TINY.num_decoder_layers,
+                                  pc_loss=True)
+    assert np.isfinite(float(loss))
+    assert float(stats["vote_loss"]) == 0.0
+    assert float(stats["box_loss"]) == 0.0
+    assert float(stats["physical_constraints_loss"]) == 0.0
+
+    def f(center):
+        e = dict(ep)
+        e["last_center"] = center
+        return losses.get_loss(e, SCANNET_MEAN_SIZES,
+                               num_layer=TINY.num_decoder_layers,
+                               pc_loss=True)[0]
+
+    g = jax.grad(f)(ep["last_center"])
+    assert np.isfinite(np.asarray(g)).all()
