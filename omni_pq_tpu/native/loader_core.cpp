@@ -17,6 +17,7 @@
 #include <cstdint>
 #include <cstring>
 #include <numeric>
+#include <thread>
 #include <utility>
 #include <vector>
 
@@ -216,8 +217,11 @@ void estimate_normals(const float* pts, int64_t n, int64_t k,
     }
   }
 
+  // per-point work is independent after the grid build (read-only shared
+  // state, per-thread candidate buffer): thread it on multi-core hosts
+  auto worker = [&](int64_t i_lo, int64_t i_hi) {
   std::vector<std::pair<float, int64_t>> cand;
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = i_lo; i < i_hi; ++i) {
     const float* p = pts + i * 3;
     cand.clear();
     int base[3] = {cidx[i * 3], cidx[i * 3 + 1], cidx[i * 3 + 2]};
@@ -279,6 +283,19 @@ void estimate_normals(const float* pts, int64_t n, int64_t k,
     for (int d = 0; d < 3; ++d) dot += (p[d] - viewpoint[d]) * nrm[d];
     float sign = dot < 0 ? -1.0f : 1.0f;
     for (int d = 0; d < 3; ++d) out_normals[i * 3 + d] = sign * nrm[d];
+  }
+  };  // worker
+
+  int64_t nthreads = std::max(1u, std::thread::hardware_concurrency());
+  nthreads = std::min<int64_t>(nthreads, std::max<int64_t>(1, n / 4096));
+  if (nthreads <= 1) {
+    worker(0, n);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t step = (n + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t)
+      threads.emplace_back(worker, t * step, std::min(n, (t + 1) * step));
+    for (auto& th : threads) th.join();
   }
 }
 
