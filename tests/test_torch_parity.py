@@ -1,0 +1,268 @@
+"""Whole-model forward cross-execution against the reference PQ_Transformer.
+
+The reference network (/root/reference/models/pq_transformer.py:123-267,
+backbone_module.py:21-139) runs on CPU through interop.ext_shim (its CUDA
+`pointnet2._ext` ops backed by this repo's jnp kernel oracles), its weights
+are transplanted into the flax PQTransformer by interop.import_weights, and
+both models execute the same fixed point cloud at the full architecture
+(2048/1024/512/256 SA plan, 256+256 proposals, 6 decoder layers).
+
+Index decisions (FPS, ball query) are computed by the same jitted functions
+on both sides, so they are bitwise identical given identical xyz inputs; the
+float tolerances then only absorb matmul/reduction rounding.
+
+Modes covered:
+  - eval BN (running stats): strict parity on every end_points key. This is
+    the inference configuration — the one a published-checkpoint F1
+    comparison runs in.
+  - train BN (batch stats): strict parity through the backbone, voting and
+    quad branch, plus the BN running-stat updates (torch momentum 0.1 ==
+    flax 0.9 mapping). The object branch is NOT strictly comparable at the
+    full-model level in train mode: vote positions pile up near-duplicates,
+    and the vote-aggregation FPS flips a handful of selections when its
+    input moves by ~1e-4 (the same fps function applied to the two sides'
+    vote_xyz picks different indices — measured 9-30 flips of 512 across
+    seeds). That sensitivity is intrinsic to the architecture, not a wiring
+    difference, so train-mode decoder/head parity is instead pinned
+    module-level on identical inputs.
+"""
+import functools
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from omni_pq_tpu.config import ModelConfig, SCANNET_MEAN_SIZES  # noqa: E402
+from omni_pq_tpu.models import PQTransformer  # noqa: E402
+from omni_pq_tpu.interop.ext_shim import (  # noqa: E402
+    load_reference_pq_transformer, zero_dropout)
+from omni_pq_tpu.interop.import_weights import torch_state_dict_to_flax  # noqa: E402
+from omni_pq_tpu.interop.oracle_ops import oracle_model_ops  # noqa: E402
+
+N_POINTS = 4096  # full architecture; only the input cloud is smaller than 40k
+B = 2
+
+
+def _cloud(seed=3):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(size=(B, N_POINTS, 3)).astype(np.float32)
+            * np.array([4.0, 4.0, 2.5], np.float32) + 0.5)
+
+
+def _norm_torch(key, t):
+    """torch end_points value -> flax layout (features are channel-first)."""
+    v = t.detach().cpu().numpy()
+    if v.ndim == 3 and (key.endswith("_features") or key == "cluster_feature"):
+        return np.transpose(v, (0, 2, 1))
+    return v
+
+
+def _assert_close(key, a, b, atol):
+    if a.dtype.kind in "iu":
+        assert np.array_equal(a, b), (
+            f"{key}: {int((a != b).sum())}/{a.size} index mismatches — "
+            "FPS/ball-query decisions diverged (expected bitwise-shared)")
+        return
+    d = float(np.max(np.abs(a.astype(np.float64) - b.astype(np.float64))))
+    assert d <= atol, f"{key}: max |diff| {d:.3e} > {atol:g}"
+
+
+@pytest.fixture(scope="module")
+def parity():
+    torch.manual_seed(0)
+    ref = load_reference_pq_transformer()
+    sd0 = {k: v.clone() for k, v in ref.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, torch_state_dict_to_flax(sd0))
+    cfg = ModelConfig(num_points=N_POINTS, dropout=0.0,
+                      quad_normal_per_vector_norm=False)
+    model = PQTransformer(cfg)
+    return ref, sd0, model, variables
+
+
+def test_eval_forward_parity(parity):
+    ref, sd0, model, variables = parity
+    pc = _cloud()
+    ref.load_state_dict(sd0)
+    ref.eval()
+    with torch.no_grad():
+        ep_t = ref({"point_clouds": torch.from_numpy(pc)})
+    with oracle_model_ops():
+        ep_j = jax.jit(lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(pc))
+    ep_j = jax.tree.map(np.asarray, ep_j)
+
+    assert set(ep_t.keys()) <= set(ep_j.keys())
+    # observed worst |diff| across 10 seeds: 1.2e-5 (atol has 15x headroom)
+    for k in sorted(ep_t.keys()):
+        a = _norm_torch(k, ep_t[k])
+        b = ep_j[k]
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        _assert_close(k, a, b, atol=2e-4)
+
+
+# train-BN strict set: everything upstream of (and beside) the object
+# branch's vote-aggregation FPS
+_TRAIN_STRICT_PREFIXES = ("sa1_", "sa2_", "sa3_", "sa4_", "fp2_", "seed_",
+                          "vote_")
+_TRAIN_STRICT_KEYS = ("aggregated_sample_xyz",)
+_TRAIN_STRICT_QUAD = ("proposal_quad_scores", "proposal_quad_center",
+                      "proposal_normal_vector", "proposal_quad_size")
+
+
+def test_train_bn_forward_parity(parity):
+    ref, sd0, model, variables = parity
+    pc = _cloud()
+    ref.load_state_dict(sd0)
+    ref.train()
+    zero_dropout(ref)
+    with torch.no_grad():
+        ep_t = ref({"point_clouds": torch.from_numpy(pc)})
+    with oracle_model_ops():
+        ep_j, updates = jax.jit(functools.partial(
+            model.apply, train=True, mutable=["batch_stats"]))(
+                variables, jnp.asarray(pc))
+    ep_j = jax.tree.map(np.asarray, ep_j)
+
+    keys = [k for k in ep_t
+            if k.startswith(_TRAIN_STRICT_PREFIXES)
+            or k in _TRAIN_STRICT_KEYS or k in _TRAIN_STRICT_QUAD]
+    assert len(keys) >= 15
+    for k in sorted(keys):
+        _assert_close(k, _norm_torch(k, ep_t[k]), ep_j[k], atol=2e-3)
+
+    # BN running-stat updates: torch momentum 0.1 (new = 0.9 old + 0.1 batch,
+    # pq_transformer.py:275-278) == flax momentum 0.9; torch uses the
+    # unbiased batch var for the update, flax the biased — indistinguishable
+    # at n = B*2048*64 (factor 1 + 1/(n-1)).
+    sd_after = ref.state_dict()
+    checks = [
+        ("backbone.sa1.mlp_module.layer0.bn.bn",
+         updates["batch_stats"]["backbone"]["sa1"]["mlp"]["bn0"]),
+        ("vote.bn1", updates["batch_stats"]["vote"]["bn1"]),
+        ("decoder.0.self_posembed.position_embedding_head.1",
+         updates["batch_stats"]["decoder_layer0"]["self_posembed"]["bn"]),
+    ]
+    for tkey, stats in checks:
+        _assert_close(f"{tkey}.running_mean",
+                      sd_after[f"{tkey}.running_mean"].numpy(),
+                      np.asarray(stats["mean"]), atol=1e-5)
+        _assert_close(f"{tkey}.running_var",
+                      sd_after[f"{tkey}.running_var"].numpy(),
+                      np.asarray(stats["var"]), atol=1e-5)
+
+
+def test_train_bn_decoder_and_heads_module_parity(parity):
+    """Decoder layer + both prediction heads in train-BN mode on identical
+    inputs (the regime the full-model train comparison can't reach past the
+    vote-FPS near-tie sensitivity)."""
+    from omni_pq_tpu.models.transformer import TransformerDecoderLayer
+    from omni_pq_tpu.models.heads import PredictHead, QuadPredictHead
+
+    ref, sd0, model, variables = parity
+    ref.load_state_dict(sd0)
+    ref.train()
+    zero_dropout(ref)
+    rng = np.random.default_rng(11)
+    q = rng.normal(size=(B, 512, 288)).astype(np.float32)
+    k = rng.normal(size=(B, 1024, 288)).astype(np.float32)
+    qpos = rng.uniform(size=(B, 512, 3)).astype(np.float32) * 4
+    kpos = rng.uniform(size=(B, 1024, 3)).astype(np.float32) * 4
+
+    with torch.no_grad():
+        out_t = ref.decoder[0](
+            torch.from_numpy(q).transpose(1, 2),
+            torch.from_numpy(k).transpose(1, 2),
+            torch.from_numpy(qpos), torch.from_numpy(kpos))
+    layer = TransformerDecoderLayer(d_model=288, nhead=8,
+                                    dim_feedforward=2048, dropout=0.0)
+    sub = {"params": variables["params"]["decoder_layer0"],
+           "batch_stats": variables["batch_stats"]["decoder_layer0"]}
+    out_j, _ = jax.jit(functools.partial(
+        layer.apply, train=True, mutable=["batch_stats"]))(
+            sub, jnp.asarray(q), jnp.asarray(k), jnp.asarray(qpos),
+            jnp.asarray(kpos))
+    _assert_close("decoder_layer0(train)",
+                  out_t.transpose(1, 2).detach().numpy(), np.asarray(out_j),
+                  atol=2e-4)
+
+    net = rng.normal(size=(B, 256, 288)).astype(np.float32)
+    base = rng.uniform(size=(B, 256, 3)).astype(np.float32) * 4
+    tnet = torch.from_numpy(net).transpose(1, 2)
+    tbase = torch.from_numpy(base)
+
+    with torch.no_grad():
+        _, _, ep_t = ref.prediction_heads[0](tnet, base_xyz=tbase,
+                                             end_points={}, prefix="p_")
+    head = PredictHead(hidden_dim=288, num_heading_bin=1, num_size_cluster=18,
+                       num_class=18, mean_size_arr=SCANNET_MEAN_SIZES)
+    subh = {"params": variables["params"]["prediction_head0"],
+            "batch_stats": variables["batch_stats"]["prediction_head0"]}
+    (_, _, ep_j), _ = jax.jit(lambda v, n, b: head.apply(
+        v, n, b, "p_", train=True, mutable=["batch_stats"]))(
+            subh, jnp.asarray(net), jnp.asarray(base))
+    for key in sorted(ep_t.keys()):
+        _assert_close(key, _norm_torch(key, ep_t[key]),
+                      np.asarray(ep_j[key]), atol=2e-4)
+
+    with torch.no_grad():
+        _, _, epq_t = ref.prediction_quad_heads[0](tnet, base_xyz=tbase,
+                                                   end_points={}, prefix="p_")
+    qhead = QuadPredictHead(hidden_dim=288, per_vector_norm=False)
+    subq = {"params": variables["params"]["quad_prediction_head0"],
+            "batch_stats": variables["batch_stats"]["quad_prediction_head0"]}
+    (_, _, epq_j), _ = jax.jit(lambda v, n, b: qhead.apply(
+        v, n, b, "p_", train=True, mutable=["batch_stats"]))(
+            subq, jnp.asarray(net), jnp.asarray(base))
+    for key in sorted(epq_t.keys()):
+        _assert_close(key, _norm_torch(key, epq_t[key]),
+                      np.asarray(epq_j[key]), atol=2e-4)
+
+
+def test_importer_rejects_unmapped_keys(parity):
+    ref, sd0, _, _ = parity
+    sd = dict(sd0)
+    sd["decoder.0.bogus_param"] = torch.zeros(3)
+    with pytest.raises(KeyError, match="bogus"):
+        torch_state_dict_to_flax(sd)
+
+
+def test_importer_strips_ddp_prefix_and_checks_structure(parity):
+    ref, sd0, model, variables = parity
+    sd = {f"module.{k}": v for k, v in sd0.items()}
+    out = torch_state_dict_to_flax(sd, like=variables)
+    got = out["params"]["vote"]["conv1"]["kernel"]
+    want = np.asarray(variables["params"]["vote"]["conv1"]["kernel"])
+    assert np.array_equal(got, want)
+
+
+def test_import_torch_checkpoint_cli(parity, tmp_path, monkeypatch):
+    """scripts/import_torch_weights.py: reference .pth (DDP-prefixed, with
+    ema_model) -> orbax checkpoint loadable by train.checkpoint."""
+    import runpy
+
+    from omni_pq_tpu.train import OptimizerConfig, create_train_state
+    from omni_pq_tpu.train.checkpoint import load_checkpoint
+
+    ref, sd0, model, variables = parity
+    pth = tmp_path / "ckpt_epoch_best.pth"
+    torch.save({"model": {f"module.{k}": v for k, v in sd0.items()},
+                "ema_model": dict(sd0), "epoch": 7,
+                "optimizer": {}, "scheduler": {}}, pth)
+    out_dir = tmp_path / "imported"
+    monkeypatch.setattr("sys.argv", ["import_torch_weights.py", str(pth),
+                                     str(out_dir), "--tag", "best"])
+    runpy.run_path("scripts/import_torch_weights.py", run_name="__main__")
+
+    state = create_train_state(variables, OptimizerConfig(), ema=True)
+    state, epoch, tag = load_checkpoint(str(out_dir / "ckpt_epoch_best"),
+                                        state)
+    assert tag == "best"
+    got = np.asarray(state.params["vote"]["conv1"]["kernel"])
+    want = sd0["vote.conv1.weight"].numpy()[:, :, 0].T
+    assert np.array_equal(got, want)
+    got_ema = np.asarray(state.ema_params["vote"]["conv1"]["kernel"])
+    assert np.array_equal(got_ema, want)
