@@ -197,10 +197,10 @@ class LFPModuleMSG(nn.Module):
         outs = []
         for i, (radius, nsample, mlp) in enumerate(
                 zip(self.radii, self.nsamples, self.mlps)):
-            # unfused path: the xyz2 centers are not drawn from xyz1, so the
-            # fused ball_query_group's >=1-hit precondition does not hold
-            idx = ball_query(radius, nsample, xyz1, xyz2)
-            grouped_xyz = group_points(xyz1, idx) - xyz2[:, :, None, :]
+            # fused path is safe even though xyz2 centers are not drawn from
+            # xyz1: no-hit rows get the reference padding semantics
+            # (xyz1[0] - center) since round 4
+            idx, grouped_xyz = ball_query_group(radius, nsample, xyz1, xyz2)
             if features1 is not None:
                 grouped = group_points(features1, idx)
                 if self.use_xyz:

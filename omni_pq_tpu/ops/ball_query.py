@@ -357,10 +357,10 @@ def ball_query_group(radius: float, nsample: int, xyz: jax.Array,
     XLA row-gather (measured 11.5 ns/row = 9 ms/step at sa1; the kernel
     deposits the values while the point chunk is already in VMEM).
 
-    Requires every real center to have >= 1 in-radius hit (true whenever
-    centers are drawn from the points, as in every SA module — a center is
-    its own neighbor); otherwise that row's grouped values are 0 rather than
-    xyz[0] - center.
+    A center with no in-radius hit yields idx row 0s and grouped rows
+    xyz[0] - center — the reference CUDA padding semantics (the zero-
+    initialized idx buffer reads point 0, ball_query_gpu.cu:38-45). The
+    custom VJP routes those rows' cotangents to xyz[0]/center accordingly.
     """
     idxg = _ball_query_group_fwd_impl(radius, nsample, xyz, new_xyz)
     return idxg
@@ -375,8 +375,18 @@ def _ball_query_group_fwd_impl(radius, nsample, xyz, new_xyz):
         flat = jnp.take_along_axis(
             xyz, idx.reshape(idx.shape[0], -1)[..., None], axis=1)
         return idx, flat.reshape(idx.shape + (3,)) - new_xyz[:, :, None, :]
-    return _bq_pallas(radius, nsample, jax.lax.stop_gradient(xyz),
-                      jax.lax.stop_gradient(new_xyz), True)
+    idx, grouped = _bq_pallas(radius, nsample, jax.lax.stop_gradient(xyz),
+                              jax.lax.stop_gradient(new_xyz), True)
+    # The kernel deposits 0 for empty slots; a center with NO hit leaves its
+    # whole row empty where the reference reads xyz[0] (zero-initialized idx
+    # buffer, ball_query_gpu.cu:38-45). Patch those rows so the fused op is
+    # drop-in equal to ball_query + group_points for every input (a real hit
+    # at index 0 is distinguished by point 0 being inside the ball).
+    rel0 = xyz[:, :1] - new_xyz  # (B, S, 3): xyz[0] - center
+    no_hit = (jnp.all(idx == 0, axis=-1)
+              & (jnp.sum(rel0 * rel0, axis=-1) >= radius * radius))
+    grouped = jnp.where(no_hit[..., None, None], rel0[:, :, None, :], grouped)
+    return idx, grouped
 
 
 def _bqg_fwd(radius, nsample, xyz, new_xyz):

@@ -191,6 +191,54 @@ class TestBallQuery:
         np.testing.assert_allclose(np.asarray(grouped)[0], want,
                                    rtol=1e-6, atol=1e-6)
 
+    def test_fused_group_off_cloud_centers(self, rng):
+        # centers with ZERO in-radius hits (off-cloud) must reproduce the
+        # reference CUDA padding semantics on the Pallas path too: idx row 0,
+        # grouped row xyz[0] - center (zero-initialized idx buffer reads
+        # point 0, ball_query_gpu.cu:38-45) == the unfused composition
+        n, s, k = 2000, 256, 8  # n*s > small-path threshold -> Pallas
+        xyz = rng.uniform(size=(2, n, 3)).astype(np.float32) * 3
+        ctr = xyz[:, :: n // s][:, :s].copy()
+        ctr[:, ::3] += 50.0  # every 3rd center far off-cloud
+        idx, grouped = ops.ball_query_group(0.4, k, jnp.asarray(xyz),
+                                            jnp.asarray(ctr))
+        idx, grouped = np.asarray(idx), np.asarray(grouped)
+        want_idx = np.asarray(ops.ball_query_ref(0.4, k, jnp.asarray(xyz),
+                                                 jnp.asarray(ctr)))
+        np.testing.assert_array_equal(idx, want_idx)
+        want = np.stack([xyz[b][want_idx[b]] for b in range(2)])
+        want = want - ctr[:, :, None, :]
+        np.testing.assert_allclose(grouped, want, rtol=1e-6, atol=1e-6)
+        # the off-cloud rows really took the no-hit path
+        assert (idx[:, ::3] == 0).all()
+        np.testing.assert_allclose(
+            grouped[:, ::3],
+            np.broadcast_to((xyz[:, :1] - ctr[:, ::3])[:, :, None, :],
+                            grouped[:, ::3].shape), rtol=1e-6, atol=1e-6)
+
+    def test_fused_group_off_cloud_vjp(self, rng):
+        # gradient routing for no-hit rows: cotangent flows to xyz[0]/center
+        # exactly like autodiff of the unfused composition
+        xyz = jnp.asarray(rng.uniform(size=(1, 300, 3)).astype(np.float32))
+        ctr_np = np.asarray(xyz)[:, ::10].copy()
+        ctr_np[:, ::4] += 50.0
+        ctr = jnp.asarray(ctr_np)
+
+        def fused(x, c):
+            _, g = ops.ball_query_group(0.4, 8, x, c)
+            return jnp.sum(jnp.sin(g) * 2.0)
+
+        def unfused(x, c):
+            idx = ops.ball_query(0.4, 8, x, c)
+            g = ops.group_points(x, idx) - c[:, :, None, :]
+            return jnp.sum(jnp.sin(g) * 2.0)
+
+        gf = jax.jit(jax.grad(fused, argnums=(0, 1)))(xyz, ctr)
+        gu = jax.jit(jax.grad(unfused, argnums=(0, 1)))(xyz, ctr)
+        for a, b in zip(gf, gu):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_fused_group_vjp(self, rng):
         # the custom VJP must equal autodiff of the unfused composition
         xyz = jnp.asarray(rng.uniform(size=(2, 300, 3)).astype(np.float32))
