@@ -53,10 +53,10 @@ def main(argv=None):
         use_ema = tag == "ema_best"
         logger.info(f"loaded {args.checkpoint_path} (ema={use_ema})")
 
-    f1 = evaluate(args, model, state, val_loader, DatasetConfig(), logger,
-                  use_ema=use_ema)
     from ..utils.metrics import MetricsLogger
     metrics = MetricsLogger(args.log_dir)
+    f1 = evaluate(args, model, state, val_loader, DatasetConfig(), logger,
+                  use_ema=use_ema, metrics=metrics)
     metrics.log(0, {"quad_f1": f1, "ema": float(use_ema)}, prefix="eval")
     metrics.close()
     print(f"F1: {f1:.4f}")

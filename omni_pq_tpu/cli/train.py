@@ -77,8 +77,12 @@ def get_datasets(args):
 
 
 def evaluate(args, model, state, val_loader, dataset_config, logger,
-             use_ema=False, max_batches=None, mesh=None):
-    """evaluate_one_epoch (train.py:609-768): quad F1 + object mAP.
+             use_ema=False, max_batches=None, mesh=None, metrics=None,
+             epoch=0):
+    """evaluate_one_epoch (train.py:609-768): quad F1 + object mAP, plus the
+    reference's eval-time supervised loss stat_dict (train.py:638-668) on
+    val batches that carry the full label set — means are logged and written
+    to metrics.jsonl under eval_{student|ema}/.
 
     With `mesh` set (multi-process runs), each process forwards its shard of
     the val split as one global sharded computation, outputs are allgathered
@@ -88,7 +92,8 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
     import jax
     import jax.numpy as jnp
     from ..parallel import make_global_batch, gather_scenes
-    from ..train import make_eval_step
+    from ..train import (make_eval_step, make_eval_decode_step,
+                         unpack_eval_outputs)
     from ..evals import (parse_quad_predictions, parse_quad_groundtruths,
                          parse_predictions, parse_groundtruths,
                          QuadAPCalculator, APCalculator)
@@ -99,10 +104,29 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
                    "conf_thresh": 0.0, "quad_thresh": 0.5,
                    "dataset_config": dataset_config,
                    "nms_iou_quad": args.nms_iou_quad}
-    eval_step = make_eval_step(model)
     quad_calc = QuadAPCalculator(ap_iou_thresh=args.ap_iou_thresholds[0])
     obj_calcs = {t: APCalculator(ap_iou_thresh=t)
                  for t in args.ap_iou_thresholds}
+
+    # eval-time supervised loss stats (reference train.py:638-668), computed
+    # on device inside the decode jit; packed outputs keep the per-batch
+    # host fetch to ~3 buffers (a full 119-key end_points fetch measured
+    # 11.5 s/batch through the remote-TPU transport, TUNING.md)
+    from .. import losses as _losses
+    mean_sizes = np.asarray(dataset_config.mean_size_arr, np.float32)
+    decode_step = make_eval_decode_step(model, mean_sizes)
+    eval_step = None  # full forward, built lazily (multiproc / dump paths)
+    loss_stats_fn = jax.jit(lambda d: jax.tree.map(
+        lambda x: x, _losses.get_loss(
+            d, mean_sizes, num_layer=model.cfg.num_decoder_layers)[1]))
+    loss_sums: dict = {}
+    loss_batches = 0
+    _LOSS_KEYS = ("vote_label", "center_label", "gt_quad_centers")
+
+    def _unpack(obj, quad):
+        return unpack_eval_outputs(
+            obj, quad, model.cfg.num_heading_bin,
+            model.cfg.num_size_cluster, model.cfg.num_class)
 
     multiproc = mesh is not None and len(mesh.devices.flat) > 1
     for bi, batch in enumerate(val_loader):
@@ -110,6 +134,8 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
             break
         if multiproc:
             import jax as _jax
+            if eval_step is None:
+                eval_step = make_eval_step(model)
             pc = np.asarray(batch["point_clouds"])
             true_b, n_local = pc.shape[0], _jax.local_device_count()
             padded_b = -(-true_b // n_local) * n_local
@@ -125,12 +151,32 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
                             .reshape((p * true_b,) + a.shape[1:])
                 ep = {k: _trim(v) for k, v in ep.items()}
             batch = gather_scenes(batch)
+            merged = dict(ep)
+            merged.update(batch)
+            if all(k in merged for k in _LOSS_KEYS):
+                arrs = {k: np.asarray(v) for k, v in merged.items()
+                        if getattr(np.asarray(v).dtype, "kind", "O") in "fiub"}
+                st = jax.device_get(loss_stats_fn(arrs))
+                for k, v in st.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                loss_batches += 1
         else:
-            ep = eval_step(state, jnp.asarray(batch["point_clouds"]),
-                           use_ema=use_ema)
-            ep = {k: np.asarray(v) for k, v in ep.items()}
-        merged = dict(ep)
-        merged.update(batch)
+            with_loss = all(k in batch for k in _LOSS_KEYS)
+            labels = None
+            if with_loss:
+                labels = {k: np.asarray(v) for k, v in batch.items()
+                          if getattr(np.asarray(v).dtype, "kind", "O")
+                          in "fiub"}
+            obj, quad, vec = decode_step(
+                state, jnp.asarray(batch["point_clouds"]), labels,
+                use_ema=use_ema, with_loss=with_loss)
+            ep = _unpack(np.asarray(obj), np.asarray(quad))
+            if vec is not None:
+                for k, v in zip(decode_step.stat_names, np.asarray(vec)):
+                    loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+                loss_batches += 1
+            merged = dict(ep)
+            merged.update(batch)
         pred_cls, _, pred_corners = parse_quad_predictions(
             merged, config_dict, "last_")
         gt_cls, gt_corners = parse_quad_groundtruths(merged, config_dict)
@@ -152,6 +198,15 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
 
     f1 = quad_calc.compute_F1(calculated=True)
     tag = "ema" if use_ema else "student"
+    if loss_batches:
+        means = {k: v / loss_batches for k, v in sorted(loss_sums.items())}
+        shown = {k: means[k] for k in ("loss", "vote_loss", "objectness_loss",
+                                       "box_loss", "quad_loss_sum")
+                 if k in means}
+        logger.info(f"[eval:{tag}] " + " ".join(
+            f"{k} {v:.4f}" for k, v in shown.items()))
+        if metrics is not None:
+            metrics.log(epoch, means, prefix=f"eval_{tag}")
     logger.info(f"[eval:{tag}] quad F1 = {f1:.4f}")
     if not args.faster_eval:
         for t, calc in obj_calcs.items():
@@ -320,9 +375,11 @@ def main(argv=None):
         if epoch % args.val_freq == 1 or args.val_freq == 1:
             eval_mesh = mesh if jax.process_count() > 1 else None
             f1 = evaluate(args, model, state, val_loader, dataset_config,
-                          logger, use_ema=False, mesh=eval_mesh)
+                          logger, use_ema=False, mesh=eval_mesh,
+                          metrics=metrics, epoch=epoch)
             ema_f1 = evaluate(args, model, state, val_loader, dataset_config,
-                              logger, use_ema=True, mesh=eval_mesh)
+                              logger, use_ema=True, mesh=eval_mesh,
+                              metrics=metrics, epoch=epoch)
             if metrics is not None:
                 metrics.log(global_step, {"quad_f1": f1, "ema_quad_f1": ema_f1,
                                           "epoch": epoch}, prefix="eval")

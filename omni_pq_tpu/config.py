@@ -62,6 +62,15 @@ class DatasetConfig:
     def class2size(self, pred_cls: int, residual: np.ndarray) -> np.ndarray:
         return SCANNET_MEAN_SIZES[pred_cls] + residual
 
+    def class2angle_batch(self, pred_cls, residual) -> np.ndarray:
+        """Vectorized class2angle over (...) arrays (the reference's batched
+        eval decode: utils/box_util.py:245-270 callers)."""
+        return np.zeros(np.shape(pred_cls), dtype=np.float64)
+
+    def class2size_batch(self, pred_cls, residual) -> np.ndarray:
+        """Vectorized class2size: (...) int, (..., 3) -> (..., 3)."""
+        return SCANNET_MEAN_SIZES[np.asarray(pred_cls)] + residual
+
     def param2obb(self, center, heading_class, heading_residual, size_class,
                   size_residual):
         obb = np.zeros((7,))

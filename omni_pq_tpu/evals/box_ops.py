@@ -50,6 +50,29 @@ def get_3d_box(box_size, heading_angle, center) -> np.ndarray:
     return corners.T
 
 
+def get_3d_box_batch(box_size, heading_angle, center) -> np.ndarray:
+    """Vectorized corner generation: (..., 3), (...), (..., 3) -> (..., 8, 3).
+
+    Same corners as get_3d_box applied elementwise (the reference's batched
+    variant: utils/box_util.py:245-270 get_3d_box_batch_tensor). Computed in
+    float64 like the scalar path (R is float64 there)."""
+    box_size = np.asarray(box_size, dtype=np.float64)
+    heading_angle = np.asarray(heading_angle, dtype=np.float64)
+    center = np.asarray(center, dtype=np.float64)
+    l, w, h = box_size[..., 0], box_size[..., 1], box_size[..., 2]
+    sgn_x = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float64)
+    sgn_y = np.array([1, 1, 1, 1, -1, -1, -1, -1], np.float64)
+    sgn_z = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float64)
+    x = (l / 2)[..., None] * sgn_x
+    y = (h / 2)[..., None] * sgn_y
+    z = (w / 2)[..., None] * sgn_z
+    c = np.cos(heading_angle)[..., None]
+    s = np.sin(heading_angle)[..., None]
+    # roty: cx = c*x + s*z; cy = y; cz = -s*x + c*z
+    corners = np.stack([c * x + s * z, y, -s * x + c * z], axis=-1)
+    return corners + center[..., None, :]
+
+
 def poly_area(x, y) -> float:
     return 0.5 * np.abs(np.dot(x, np.roll(y, 1)) - np.dot(y, np.roll(x, 1)))
 
@@ -126,4 +149,14 @@ def box3d_iou(corners1: np.ndarray, corners2: np.ndarray):
 
 
 def get_iou_obb(bb1, bb2) -> float:
+    # exact early-out: when the axis-aligned hulls are disjoint in BEV x/z
+    # or in y, the oriented 3D IoU is exactly 0 — skips the ConvexHull
+    # clipping for the vast majority of pred/gt pairs (measured ~10x on the
+    # full AP pass, TUNING.md)
+    if (bb1[:, 0].min() >= bb2[:, 0].max()
+            or bb2[:, 0].min() >= bb1[:, 0].max()
+            or bb1[:, 2].min() >= bb2[:, 2].max()
+            or bb2[:, 2].min() >= bb1[:, 2].max()
+            or min(bb1[0, 1], bb2[0, 1]) <= max(bb1[4, 1], bb2[4, 1])):
+        return 0.0
     return box3d_iou(bb1, bb2)[0]

@@ -7,25 +7,62 @@ import numpy as np
 
 
 def _nms(mins, maxs, score, overlap_threshold, old_type, cls=None):
-    dims = maxs - mins
-    area = np.prod(dims, axis=1)
-    order = np.argsort(score)
+    """Alive-mask formulation of the reference's delete-loop (utils/nms.py):
+    identical greedy pick sequence (descending score, stable-sort tie order),
+    but suppression flips a boolean instead of reallocating the index array
+    (np.delete per pick measured ~10x slower at 256 proposals)."""
+    n = score.shape[0]
+    area = np.prod(maxs - mins, axis=1)
+    # == picking order[-1] of an ascending stable argsort repeatedly
+    order = np.argsort(score)[::-1]
+    mins_o, maxs_o, area_o = mins[order], maxs[order], area[order]
+    cls_o = cls[order] if cls is not None else None
+    alive = np.ones(n, dtype=bool)
     pick = []
-    while order.size != 0:
-        i = order[-1]
-        pick.append(i)
-        rest = order[:-1]
-        lo = np.maximum(mins[i], mins[rest])
-        hi = np.minimum(maxs[i], maxs[rest])
+    if n <= 1024:
+        # one vectorized pairwise-overlap matrix, then a boolean greedy
+        # loop; per-axis 2-D ops avoid the (n, n, 3) broadcast temporaries
+        inter = None
+        for ax in range(mins.shape[1]):
+            lo = np.maximum(mins_o[:, ax, None], mins_o[None, :, ax])
+            hi = np.minimum(maxs_o[:, ax, None], maxs_o[None, :, ax])
+            np.subtract(hi, lo, out=hi)
+            d = np.maximum(hi, 0.0, out=hi)
+            if inter is None:
+                inter = d
+            else:
+                inter *= d
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if old_type:
+                o = inter / area_o[None, :]
+            else:
+                o = inter / (area_o[:, None] + area_o[None, :] - inter)
+        if cls_o is not None:
+            o = o * (cls_o[:, None] == cls_o[None, :])
+        # keep[k] = rows NOT suppressed by k; a pick may only suppress
+        # LATER (lower-scoring) rows, so the lower triangle + diagonal are
+        # forced True — each loop iteration is then one in-place row AND
+        keep = ~(o > overlap_threshold)
+        keep |= np.tri(n, dtype=bool)
+        for k in range(n):
+            if alive[k]:
+                pick.append(int(order[k]))
+                np.logical_and(alive, keep[k], out=alive)
+        return pick
+    for k in range(n):
+        if not alive[k]:
+            continue
+        pick.append(int(order[k]))
+        lo = np.maximum(mins_o[k], mins_o[k + 1:])
+        hi = np.minimum(maxs_o[k], maxs_o[k + 1:])
         inter = np.prod(np.maximum(0.0, hi - lo), axis=1)
         if old_type:
-            o = inter / area[rest]
+            o = inter / area_o[k + 1:]
         else:
-            o = inter / (area[i] + area[rest] - inter)
-        if cls is not None:
-            o = o * (cls[rest] == cls[i])
-        order = np.delete(order, np.concatenate(
-            ([order.size - 1], np.where(o > overlap_threshold)[0])))
+            o = inter / (area_o[k] + area_o[k + 1:] - inter)
+        if cls_o is not None:
+            o = o * (cls_o[k + 1:] == cls_o[k])
+        alive[k + 1:] &= ~(o > overlap_threshold)
     return pick
 
 

@@ -11,7 +11,29 @@ from typing import Dict
 
 import numpy as np
 
-from .box_ops import flip_axis_to_camera, flip_axis_to_depth, get_3d_box
+from .box_ops import (flip_axis_to_camera, flip_axis_to_depth, get_3d_box,
+                      get_3d_box_batch)
+
+
+def _corners_batch(dataset_config, cls_arr, res_arr, heading_cls, heading_res,
+                   center_cam):
+    """Batched box decode + corner generation; falls back to the per-element
+    scalar path for custom configs without *_batch methods."""
+    if (hasattr(dataset_config, "class2angle_batch")
+            and hasattr(dataset_config, "class2size_batch")):
+        angles = dataset_config.class2angle_batch(heading_cls, heading_res)
+        sizes = dataset_config.class2size_batch(cls_arr, res_arr)
+        return get_3d_box_batch(sizes, angles, center_cam)
+    bsize, K = np.shape(cls_arr)[:2]
+    corners = np.zeros((bsize, K, 8, 3))
+    for i in range(bsize):
+        for j in range(K):
+            angle = dataset_config.class2angle(heading_cls[i, j],
+                                               heading_res[i, j])
+            size = dataset_config.class2size(int(cls_arr[i, j]),
+                                             res_arr[i, j])
+            corners[i, j] = get_3d_box(size, angle, center_cam[i, j])
+    return corners
 from .nms import nms_2d_faster, nms_3d_faster, nms_3d_faster_samecls
 from .quad import softmax
 
@@ -44,14 +66,9 @@ def parse_predictions(ep: Dict, config_dict: Dict, prefix: str = ""):
     obj_prob = sigmoid(obj_logits)[:, :, 1]
 
     center_cam = flip_axis_to_camera(pred_center)
-    corners = np.zeros((bsize, K, 8, 3))
-    for i in range(bsize):
-        for j in range(K):
-            heading_angle = dataset_config.class2angle(
-                pred_heading_class[i, j], pred_heading_residual[i, j])
-            box_size = dataset_config.class2size(int(pred_size_class[i, j]),
-                                                 pred_size_residual[i, j])
-            corners[i, j] = get_3d_box(box_size, heading_angle, center_cam[i, j])
+    corners = _corners_batch(dataset_config, pred_size_class,
+                             pred_size_residual, pred_heading_class,
+                             pred_heading_residual, center_cam)
 
     nonempty = np.ones((bsize, K))
     if config_dict.get("remove_empty_box", False):
@@ -96,18 +113,18 @@ def parse_predictions(ep: Dict, config_dict: Dict, prefix: str = ""):
     conf_thresh = config_dict.get("conf_thresh", 0.0)
     batch_pred_map_cls = []
     for i in range(bsize):
+        js = np.where((pred_mask[i] == 1) & (obj_prob[i] > conf_thresh))[0]
+        ci = corners[i]
         if config_dict.get("per_class_proposal", True):
+            cls_probs = sem_cls_probs[i, js] * obj_prob[i, js, None]  # (J, C)
             cur = []
             for ii in range(dataset_config.num_class):
-                cur += [(ii, corners[i, j], sem_cls_probs[i, j, ii] * obj_prob[i, j])
-                        for j in range(K)
-                        if pred_mask[i, j] == 1 and obj_prob[i, j] > conf_thresh]
+                cur += [(ii, ci[j], p) for j, p in zip(js, cls_probs[:, ii])]
             batch_pred_map_cls.append(cur)
         else:
             batch_pred_map_cls.append(
-                [(int(pred_sem_cls[i, j]), corners[i, j], obj_prob[i, j])
-                 for j in range(K)
-                 if pred_mask[i, j] == 1 and obj_prob[i, j] > conf_thresh])
+                [(int(pred_sem_cls[i, j]), ci[j], obj_prob[i, j])
+                 for j in js])
     return batch_pred_map_cls, pred_mask
 
 
@@ -124,16 +141,15 @@ def parse_groundtruths(ep: Dict, config_dict: Dict):
     bsize, K2 = center_label.shape[:2]
 
     center_cam = flip_axis_to_camera(center_label[:, :, 0:3])
-    corners = np.zeros((bsize, K2, 8, 3))
-    for i in range(bsize):
-        for j in range(K2):
-            if box_label_mask[i, j] == 0:
-                continue
-            heading_angle = dataset_config.class2angle(
-                heading_class_label[i, j], heading_residual_label[i, j])
-            box_size = dataset_config.class2size(int(size_class_label[i, j]),
-                                                 size_residual_label[i, j])
-            corners[i, j] = get_3d_box(box_size, heading_angle, center_cam[i, j])
+    # masked (padding) rows may carry arbitrary class ids — substitute class
+    # 0 before the batched decode, then zero them like the skipped rows of
+    # the reference's loop form
+    safe_cls = np.where(box_label_mask == 0, 0,
+                        size_class_label).astype(np.int64)
+    corners = _corners_batch(dataset_config, safe_cls,
+                             size_residual_label, heading_class_label,
+                             heading_residual_label, center_cam)
+    corners = np.where(box_label_mask[..., None, None] == 0, 0.0, corners)
 
     batch_gt_map_cls = []
     for i in range(bsize):

@@ -19,7 +19,7 @@ from typing import Dict, List
 
 import numpy as np
 
-from .box_ops import flip_axis_to_camera, get_3d_box
+from .box_ops import flip_axis_to_camera, get_3d_box_batch
 from .nms import nms_3d_faster
 from .ap import eval_det
 
@@ -56,16 +56,36 @@ def get_verts(center, width, height, normal) -> np.ndarray:
     return np.array([[x1, y1, h1], [x2, y2, h1], [x1, y1, h2], [x2, y2, h2]])
 
 
+def get_verts_batch(center, width, height, normal) -> np.ndarray:
+    """Vectorized get_verts: (..., 3), (...), (...), (..., 3) -> (..., 4, 3).
+    Same float64 math as the scalar path, all proposals at once (the
+    reference's per-proposal loop is ap_helper_pq.py:323-458)."""
+    center = np.asarray(center, dtype=np.float64)
+    width = np.asarray(width, dtype=np.float64)
+    height = np.asarray(height, dtype=np.float64)
+    normal = np.asarray(normal, dtype=np.float64)
+    norm = np.maximum(np.linalg.norm(normal, axis=-1, keepdims=True), 1e-6)
+    n = normal / norm
+    cx, cy, cz = center[..., 0], center[..., 1], center[..., 2]
+    x1 = cx + width * n[..., 1] / 2
+    x2 = cx - width * n[..., 1] / 2
+    y1 = cy - width * n[..., 0] / 2
+    y2 = cy + width * n[..., 0] / 2
+    h1 = cz + height / 2
+    h2 = cz - height / 2
+    return np.stack([
+        np.stack([x1, y1, h1], axis=-1), np.stack([x2, y2, h1], axis=-1),
+        np.stack([x1, y1, h2], axis=-1), np.stack([x2, y2, h2], axis=-1),
+    ], axis=-2)
+
+
 def _quad_corners_8(center, size, normal):
-    """Thin-box 8 corners in upright-camera frame for NMS/AP."""
+    """Thin-box 8 corners in upright-camera frame for NMS/AP (batched)."""
     heading = heading_from_normal(normal)
     center_cam = flip_axis_to_camera(center)
-    K = center.shape[0]
-    out = np.zeros((K, 8, 3))
-    for j in range(K):
-        box_size = np.array([size[j, 0], LENGTH, size[j, 1]])
-        out[j] = get_3d_box(box_size, heading[j], center_cam[j])
-    return out
+    box_size = np.stack([size[..., 0], np.full(size.shape[:-1], LENGTH),
+                         size[..., 1]], axis=-1)
+    return get_3d_box_batch(box_size, heading, center_cam)
 
 
 def parse_quad_predictions(ep: Dict, config_dict: Dict, prefix: str = ""):
@@ -83,13 +103,10 @@ def parse_quad_predictions(ep: Dict, config_dict: Dict, prefix: str = ""):
     old_type = config_dict.get("use_old_type_nms", False)
 
     pred_mask = np.zeros((bsize, K))
-    corners8 = np.zeros((bsize, K, 8, 3))
-    corners4 = np.zeros((bsize, K, 4, 3))
+    corners8 = _quad_corners_8(pred_center, pred_size, normal)
+    corners4 = get_verts_batch(pred_center, pred_size[..., 0],
+                               pred_size[..., 1], normal)
     for i in range(bsize):
-        corners8[i] = _quad_corners_8(pred_center[i], pred_size[i], normal[i])
-        for j in range(K):
-            corners4[i, j] = get_verts(pred_center[i, j], pred_size[i, j, 0],
-                                       pred_size[i, j, 1], normal[i, j])
         boxes = np.zeros((K, 7))
         boxes[:, :3] = corners8[i].min(axis=1)
         boxes[:, 3:6] = corners8[i].max(axis=1)
@@ -121,18 +138,17 @@ def parse_quad_groundtruths(ep: Dict, config_dict: Dict):
     bsize = center_label.shape[0]
     K2 = MAX_NUM_QUAD
 
+    corners8 = _quad_corners_8(center_label[:, :K2], size_label[:, :K2],
+                               vector_label[:, :K2])
+    corners4 = get_verts_batch(center_label[:, :K2], size_label[:, :K2, 0],
+                               size_label[:, :K2, 1], vector_label[:, :K2])
     batch_gt_map_cls = []
     batch_gt_corners_list = []
     for i in range(bsize):
-        corners8 = _quad_corners_8(center_label[i, :K2], size_label[i, :K2],
-                                   vector_label[i, :K2])
-        corners4 = [get_verts(center_label[i, j], size_label[i, j, 0],
-                              size_label[i, j, 1], vector_label[i, j])
-                    for j in range(K2)]
         batch_gt_map_cls.append(
-            [(1, corners8[j]) for j in range(K2) if j < num_gt_quads[i]])
+            [(1, corners8[i, j]) for j in range(K2) if j < num_gt_quads[i]])
         batch_gt_corners_list.append(
-            [corners4[j] for j in range(K2) if j < num_total_quads[i]])
+            [corners4[i, j] for j in range(K2) if j < num_total_quads[i]])
     return batch_gt_map_cls, batch_gt_corners_list
 
 
@@ -190,37 +206,57 @@ class QuadAPCalculator:
     @staticmethod
     def compute_correctness(pred_corner, all_gt):
         """True if the 4 corners match some gt quad within SAME_THRES in
-        either vertex order ([0,1,2,3] or [1,0,3,2]) (:640-665)."""
-        for gt in all_gt:
-            c1 = all(np.linalg.norm(np.asarray(pred_corner[i]) - np.asarray(gt[i]))
-                     <= SAME_THRES for i in range(4))
-            c2 = all(np.linalg.norm(np.asarray(pred_corner[i]) - np.asarray(gt[i ^ 1]))
-                     <= SAME_THRES for i in range(4))
-            if c1 or c2:
-                return True
-        return False
+        either vertex order ([0,1,2,3] or [1,0,3,2]) (:640-665). Vectorized
+        over gts — same sqrt-norm comparisons as the reference's loops."""
+        if len(all_gt) == 0:
+            return False
+        gts = np.asarray(all_gt, dtype=np.float64)       # (G, 4, 3)
+        p = np.asarray(pred_corner, dtype=np.float64)    # (4, 3)
+        d1 = np.sqrt(((p[None] - gts) ** 2).sum(-1))
+        d2 = np.sqrt(((p[None] - gts[:, [1, 0, 3, 2]]) ** 2).sum(-1))
+        ok1 = (d1 <= SAME_THRES).all(axis=1)
+        ok2 = (d2 <= SAME_THRES).all(axis=1)
+        return bool(np.any(ok1 | ok2))
 
     def _contain_point(self, pointlist, point):
-        for p in pointlist:
-            if self._same_point(p, point):
-                return True, p
+        """First list entry within SAME_THRES of `point` (vectorized scan —
+        the reference's linear _same_point loop, ap_helper_pq.py:667-671)."""
+        if pointlist:
+            a = np.asarray(pointlist, dtype=np.float64)
+            d = np.sqrt(((a - np.asarray(point, dtype=np.float64)) ** 2)
+                        .sum(axis=1))
+            hits = np.nonzero(d <= SAME_THRES)[0]
+            if hits.size:
+                return True, pointlist[hits[0]]
         return False, None
 
     def get_ceiling_and_floor(self, pred_corners):
         """Synthesize ceiling/floor quads by merging wall top/bottom corners
-        (:673-693)."""
-        ceilings: List = []
-        floors: List = []
-        for quad_corner in pred_corners:
-            for i in range(0, 2):
-                contain, p = self._contain_point(ceilings, quad_corner[i])
-                ceilings.append(quad_corner[i] if not contain
-                                else (p + quad_corner[i]) / 2)
-            for i in range(2, 4):
-                contain, p = self._contain_point(floors, quad_corner[i])
-                floors.append(quad_corner[i] if not contain
-                              else (p + quad_corner[i]) / 2)
-        return ceilings, floors
+        (:673-693). Same first-match/average semantics as _contain_point,
+        with the list mirrored in a growing array (re-asarray per insertion
+        was the F1 pass's dominant cost at 256 surviving proposals)."""
+        def merge(points):
+            out: List = []
+            buf = np.empty((max(8, 2 * len(points)), 3), np.float64)
+            n = 0
+            for pt in points:
+                pt = np.asarray(pt, dtype=np.float64)
+                if n:
+                    d = np.sqrt(((buf[:n] - pt) ** 2).sum(axis=1))
+                    hits = np.nonzero(d <= SAME_THRES)[0]
+                else:
+                    hits = np.empty(0, np.int64)
+                val = (out[hits[0]] + pt) / 2 if hits.size else pt
+                out.append(val)
+                if n == buf.shape[0]:
+                    buf = np.concatenate([buf, np.empty_like(buf)])
+                buf[n] = val
+                n += 1
+            return out
+
+        tops = [qc[i] for qc in pred_corners for i in range(0, 2)]
+        bottoms = [qc[i] for qc in pred_corners for i in range(2, 4)]
+        return merge(tops), merge(bottoms)
 
     def compute_F1(self, calculated: bool = False):
         """Corner-matching F1 (:695-736); `calculated` additionally credits

@@ -11,8 +11,12 @@ formulation costs ~5us/chunk in loop machinery). Accumulator state (output
 slots + per-center hit counts) lives in VMEM scratch, which persists across
 grid steps; it is reset at slot 0 and flushed to the output block at the
 last slot. Per chunk the kernel computes the (T, C) distance mask, turns it
-into global hit ranks with an MXU prefix-sum matmul, and deposits hit indices
-into their slots with a 64-bin vectorized histogram.
+into global hit ranks with windowed MXU prefix-sum matmuls, then deposits hit
+indices by INVERTING the (monotone) prefix sums: per 128-lane window, a
+7-step binary search over each row's inclusive counts (dynamic_gather lane
+shuffles) finds the column of every demanded rank. This searchsorted deposit
+replaced a 64-section masked-reduction histogram in round 4 — 13.4 -> 9.8
+ms/call standalone at sa1 scale, bitwise identical (TUNING.md).
 
 Work skipping (the role of the CUDA kernel's per-thread early `break`):
   1. chunk compaction (the big one): tile-bbox x chunk-bbox overlap is
@@ -28,7 +32,8 @@ Work skipping (the role of the CUDA kernel's per-thread early `break`):
      overlap only a few chunks.
   2. all-full skip: once every center in the tile has nsample hits the
      remaining chunks do nothing.
-  3. no-hit chunks skip the 64-bin histogram (16x the distance-test cost).
+  3. no-hit chunks skip ranks + deposit; hit-free 128-lane windows skip
+     their binary search.
 """
 from __future__ import annotations
 
@@ -84,9 +89,9 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
                cx_ref, cy_ref, cz_ref, *rest):
     if emit_values:
         (out_ref, gx_ref, gy_ref, gz_ref,
-         acc_ref, count_ref, vx_ref, vy_ref, vz_ref) = rest
+         acc_ref, count_ref, col_ref, vx_ref, vy_ref, vz_ref) = rest
     else:
-        out_ref, acc_ref, count_ref = rest
+        out_ref, acc_ref, count_ref, col_ref = rest
     T = cx_ref.shape[-1]
     C = x_ref.shape[-1]
     r2 = radius * radius
@@ -137,6 +142,7 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
             maskf = mask.astype(jnp.bfloat16)
             offset = jnp.zeros((T, 1), jnp.float32)
             parts = []
+            offsets = [offset]
             for w in range(C // RW):
                 mw = maskf[:, w * RW:(w + 1) * RW]
                 incl_w = jnp.dot(mw, tri,
@@ -144,70 +150,82 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
                 parts.append(incl_w + offset)
                 offset = offset + jnp.sum(
                     mw.astype(jnp.float32), axis=1, keepdims=True)
-            incl = jnp.concatenate(parts, axis=1)
-            rank = incl.astype(jnp.int32) - mask.astype(jnp.int32)
-            slot = count + rank
-            validhit = mask & (slot < nsample)
-            # idx+1 so that 0 means "slot untouched"
-            val = jnp.where(validhit, gcols + 1, 0)
-            # only slots in [min(count), max touched] can receive a deposit
-            # this chunk — predicate the unrolled histogram on that range
-            # (slot indices strictly increase across chunks, so each slot is
-            # written exactly once)
-            smin = jnp.min(count)
-            smax = jnp.max(jnp.where(validhit, slot, -1))
+                offsets.append(offset)
+            # --- searchsorted deposit (replaced the 64-section histogram:
+            # 13.4 -> 9.8 ms/call standalone at sa1, bitwise identical;
+            # TUNING.md round 4). incl is monotone per row, so the column of
+            # a row's (r+1)-th hit is lower_bound(incl, r+1) — found with a
+            # 7-step binary search whose probes are within-row lane shuffles
+            # (tpu.dynamic_gather, the only gather Mosaic supports: one
+            # (T, 128) vreg), walked per 128-lane window. Windows with no
+            # hits skip the search. Rank lanes are the 128-wide vreg; ranks
+            # >= nsample - count never fill a slot so 128 lanes always
+            # suffice (nsample <= 128 asserted in the wrapper).
+            RW2 = 128
+            rank_lane = jax.lax.broadcasted_iota(jnp.int32, (T, RW2), 1)
+            need_base = (rank_lane + 1).astype(jnp.float32)
+            off2 = jnp.zeros((T, 1), jnp.float32)
+            for w in range(C // RW2):
+                off_next = offsets[w + 1]
 
-            @pl.when(jnp.any(validhit))
-            def _():
-                for s in range(nsample):
-                    @pl.when((s >= smin) & (s <= smax))
-                    def _(s=s):
-                        sel = slot == s
-                        acc_ref[:, s] = acc_ref[:, s] + jnp.sum(
-                            jnp.where(sel, val, 0), axis=1)
+                @pl.when(jnp.any(mask[:, w * RW2:(w + 1) * RW2]))
+                def _(w=w, off2=off2, off_next=off_next):
+                    linc_w = parts[w] - off2  # local inclusive counts
+                    cnt_w = off_next - off2
+                    need = need_base - off2
+                    validr = (need >= 1.0) & (need <= cnt_w)
+                    lo = jnp.zeros((T, RW2), jnp.int32)
+                    for stp in (64, 32, 16, 8, 4, 2, 1):
+                        probe = lo + (stp - 1)
+                        g = jnp.take_along_axis(linc_w, probe, axis=1,
+                                                mode="promise_in_bounds")
+                        lo = lo + jnp.where(g < need, stp, 0)
+                    col_ref[:] = jnp.where(validr, lo + w * RW2, col_ref[:])
+                off2 = off_next
+            new_count = count + jnp.sum(mask.astype(jnp.int32), axis=1,
+                                        keepdims=True)
+            # slot s (in [count, min(new_count, nsample))) takes the hit of
+            # rank s - count; each slot is written exactly once across the
+            # chunk stream (acc 0 = untouched, else global idx + 1)
+            scols = jax.lax.broadcasted_iota(jnp.int32, (T, RW2), 1)
+            fillable = ((scols >= count) & (scols < new_count)
+                        & (scols < nsample))
+            rank_needed = jnp.clip(scols - count, 0, RW2 - 1)
+            col_slot = jnp.take_along_axis(col_ref[:], rank_needed, axis=1,
+                                           mode="promise_in_bounds")
+            dep = jnp.where(fillable, col_slot + base + 1, 0)
+            acc_ref[:] = acc_ref[:] + dep[:, :nsample]
 
-                if emit_values:
-                    # value deposit WITHOUT 3 more histograms: slots filled
-                    # by this chunk now hold (global idx + 1) in acc; fetch
-                    # their coordinates from the chunk with within-row lane
-                    # shuffles (tpu.dynamic_gather — the only gather Mosaic
-                    # supports: same-shape take_along_axis over EXACTLY one
-                    # 128-lane vreg, so the chunk is walked in 128-lane
-                    # windows). ~order-of-magnitude cheaper than per-slot
-                    # histograms (TUNING.md).
-                    W = 128
-                    new_count = count + jnp.sum(mask.astype(jnp.int32),
-                                                axis=1, keepdims=True)
-                    acc_now = acc_ref[:]          # (T, nsample)
-                    scols = jax.lax.broadcasted_iota(jnp.int32, (T, nsample), 1)
-                    fresh = ((scols >= count) & (scols < new_count)
-                             & (acc_now > 0))
-                    local = acc_now - 1 - base    # in [0, C) where fresh
-                    pad = jnp.zeros((T, W - nsample), jnp.int32)
-                    for w in range(C // W):
-                        lw = local - w * W
-                        inw = fresh & (lw >= 0) & (lw < W)
+            if emit_values:
+                # freshly-filled slots fetch their coordinates from the
+                # chunk with the same windowed dynamic_gather; pltpu.repeat
+                # materializes the (1, W) point plane into the (T, W)
+                # operand shape (vector.broadcast and zeros+add both
+                # canonicalize to a broadcast Mosaic rejects feeding
+                # dynamic_gather — "Invalid input layout")
+                W = 128
+                fresh = fillable[:, :nsample]
+                local = col_slot[:, :nsample]
+                pad = jnp.zeros((T, W - nsample), jnp.int32)
+                for w in range(C // W):
+                    lw = local - w * W
+                    inw = fresh & (lw >= 0) & (lw < W)
 
-                        @pl.when(jnp.any(inw))
-                        def _(w=w, lw=lw, inw=inw):
-                            idxpad = jnp.concatenate(
-                                [jnp.clip(lw, 0, W - 1), pad], axis=1)
-                            for plane, ctr_col, ref in (
-                                    (px, cx, vx_ref), (py, cy, vy_ref),
-                                    (pz, cz, vz_ref)):
-                                # pltpu.repeat: both vector.broadcast and a
-                                # zeros+add canonicalize to a broadcast that
-                                # Mosaic rejects feeding dynamic_gather
-                                # ("Invalid input layout")
-                                xw = pltpu.repeat(
-                                    plane[:, w * W:(w + 1) * W], T, axis=0)
-                                g = jnp.take_along_axis(
-                                    xw, idxpad, axis=1,
-                                    mode="promise_in_bounds")[:, :nsample]
-                                ref[:] = jnp.where(inw, g - ctr_col, ref[:])
+                    @pl.when(jnp.any(inw))
+                    def _(w=w, lw=lw, inw=inw):
+                        idxpad = jnp.concatenate(
+                            [jnp.clip(lw, 0, W - 1), pad], axis=1)
+                        for plane, ctr_col, ref in (
+                                (px, cx, vx_ref), (py, cy, vy_ref),
+                                (pz, cz, vz_ref)):
+                            xw = pltpu.repeat(
+                                plane[:, w * W:(w + 1) * W], T, axis=0)
+                            g = jnp.take_along_axis(
+                                xw, idxpad, axis=1,
+                                mode="promise_in_bounds")[:, :nsample]
+                            ref[:] = jnp.where(inw, g - ctr_col, ref[:])
 
-            count_ref[:] = count + jnp.sum(mask.astype(jnp.int32), axis=1,
-                                           keepdims=True)
+            count_ref[:] = new_count
 
     @pl.when(j == nslots - 1)
     def _():
@@ -254,6 +272,7 @@ def _chunk_tables(ctr, cb, radius, ntiles, nchunks):
 
 
 def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
+    assert nsample <= 128, "searchsorted deposit uses 128 rank lanes"
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
     n_pad = (-N) % _CHUNK
@@ -300,7 +319,8 @@ def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
     i32_out = jax.ShapeDtypeStruct((B, spad, nsample), jnp.int32)
     f32_out = jax.ShapeDtypeStruct((B, spad, nsample), jnp.float32)
     scratch = [pltpu.VMEM((_TILE, nsample), jnp.int32),
-               pltpu.VMEM((_TILE, 1), jnp.int32)]
+               pltpu.VMEM((_TILE, 1), jnp.int32),
+               pltpu.VMEM((_TILE, 128), jnp.int32)]  # searchsorted payload
     if emit_values:
         scratch += [pltpu.VMEM((_TILE, nsample), jnp.float32)] * 3
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -192,3 +192,95 @@ def make_eval_step(model):
                            point_clouds, train=False)
 
     return eval_step
+
+
+# metric-decode tensors (evals/{objects,quad}.py): packed on device into two
+# arrays so the host fetches 2 buffers instead of one per end_points key —
+# through the remote-TPU transport each fetch is a ~32 ms round trip, and a
+# full 119-key end_points fetch measured 11.5 s per bs16 batch (TUNING.md)
+_EVAL_OBJ_KEYS = ("objectness_scores", "center", "heading_scores",
+                  "heading_residuals", "size_scores", "size_residuals",
+                  "sem_cls_scores")
+_EVAL_QUAD_KEYS = ("quad_scores", "quad_center", "normal_vector", "quad_size")
+
+
+def _pack(ep, prefix, keys):
+    planes = []
+    for k in keys:
+        v = ep[prefix + k]
+        planes.append(v.reshape(v.shape[0], v.shape[1], -1)
+                      .astype(jnp.float32))
+    return jnp.concatenate(planes, axis=-1)
+
+
+def unpack_eval_outputs(obj_packed, quad_packed, num_heading_bin: int,
+                        num_size_cluster: int, num_class: int,
+                        prefix: str = "last_") -> Dict:
+    """Host-side inverse of the device packing: two numpy arrays -> the
+    end_points subset the eval decode reads."""
+    import numpy as np
+
+    B, K = obj_packed.shape[:2]
+    widths = {"objectness_scores": 2, "center": 3,
+              "heading_scores": num_heading_bin,
+              "heading_residuals": num_heading_bin,
+              "size_scores": num_size_cluster,
+              "size_residuals": num_size_cluster * 3,
+              "sem_cls_scores": num_class}
+    out, off = {}, 0
+    for k in _EVAL_OBJ_KEYS:
+        w = widths[k]
+        v = np.asarray(obj_packed[..., off:off + w])
+        if k == "size_residuals":
+            v = v.reshape(B, K, num_size_cluster, 3)
+        out[prefix + k] = v
+        off += w
+    qwidths = {"quad_scores": 2, "quad_center": 3, "normal_vector": 3,
+               "quad_size": 2}
+    off = 0
+    for k in _EVAL_QUAD_KEYS:
+        w = qwidths[k]
+        out[prefix + k] = np.asarray(quad_packed[..., off:off + w])
+        off += w
+    return out
+
+
+def make_eval_decode_step(model, mean_size_arr=None, prefix: str = "last_"):
+    """Jitted eval forward returning ONLY what the metric path consumes:
+    (obj_packed (B,K,W1), quad_packed (B,Kq,W2)[, loss_stat_names,
+    loss_stats_vec]). With `labels` given (and mean_size_arr set), the
+    reference's eval-time supervised loss stat_dict (train.py:638-668) is
+    computed on device in the same jit and returned as one stacked vector —
+    one extra fetch instead of ~30. The vector's key order is published on
+    the returned function as `.stat_names` (filled at trace time, i.e.
+    after the first with_loss call)."""
+    stat_names: list = []
+
+    @functools.partial(jax.jit, static_argnames=("use_ema", "with_loss"))
+    def _jitted(state: TrainState, point_clouds, labels=None,
+                use_ema: bool = False, with_loss: bool = False):
+        params = state.ema_params if use_ema else state.params
+        batch_stats = (state.ema_batch_stats if use_ema else state.batch_stats)
+        ep = model.apply({"params": params, "batch_stats": batch_stats},
+                         point_clouds, train=False)
+        obj = _pack(ep, prefix, _EVAL_OBJ_KEYS)
+        quad = _pack(ep, prefix, _EVAL_QUAD_KEYS)
+        if not with_loss:
+            return obj, quad, None
+        merged = dict(ep)
+        merged.update(labels)
+        _, stats = losses.get_loss(merged, mean_size_arr,
+                                   num_layer=model.cfg.num_decoder_layers)
+        names = sorted(stats)
+        stat_names[:] = names  # trace-time capture
+        vec = jnp.stack([jnp.asarray(stats[k]).astype(jnp.float32)
+                         for k in names])
+        return obj, quad, vec
+
+    def step(state, point_clouds, labels=None, use_ema=False,
+             with_loss=False):
+        return _jitted(state, point_clouds, labels, use_ema=use_ema,
+                       with_loss=with_loss)
+
+    step.stat_names = stat_names
+    return step

@@ -75,6 +75,13 @@ ARM_FLAGS = {
                         pc_loss=True, use_fitted_mixture=True),
 }
 
+# "<arm>_ft" = the reference's ACTUAL protocol (train.sh:14-31): a
+# supervised pretrain, then resume with the semi-supervised machinery on —
+# teacher backfilled from the student (train.py:167-173), consistency at
+# full weight immediately (the resume epoch is far past consistency_rampup,
+# so sigmoid_rampup saturates at 1). AB_PRETRAIN steps of phase 1.
+PRETRAIN = int(os.environ.get("AB_PRETRAIN", STEPS // 2))
+
 
 def load_pool(seed, n):
     ds = SyntheticDataset(n, 40000, seed=seed, **ROOM)
@@ -138,25 +145,46 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
     state = create_train_state(
         variables, OptimizerConfig(total_steps=STEPS, learning_rate=2e-3),
         ema=True)
-    flags = ARM_FLAGS[arm]
+    finetune = arm.endswith("_ft")
+    base_arm = arm[:-3] if finetune else arm
+    flags = ARM_FLAGS[base_arm]
     inner = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags,
                             donate=False)
     step = make_fused_step(inner, N_LABELED, N_WEAK,
                            semi=flags.ema or flags.gamma_mixture)
+    if finetune:
+        sup_inner = make_train_step(model, cfg, SCANNET_MEAN_SIZES,
+                                    ARM_FLAGS["sup"], donate=False)
+        sup_step = make_fused_step(sup_inner, N_LABELED, N_WEAK, semi=False)
     ev = make_eval_step(model)
 
     ramp_steps = max(1, STEPS // 3)
-    cw_sched = jnp.asarray([
-        consistency_weight(i / ramp_steps, 0.05, 1) if flags.ema else 0.0
-        for i in range(STEPS)], dtype=jnp.float32)
+    if finetune:
+        # reference resume semantics: full consistency weight from the
+        # first fine-tune step (rampup long saturated at the resume epoch)
+        cw_sched = jnp.asarray(
+            [0.0] * PRETRAIN + [0.05] * (STEPS - PRETRAIN), jnp.float32)
+    else:
+        cw_sched = jnp.asarray([
+            consistency_weight(i / ramp_steps, 0.05, 1) if flags.ema else 0.0
+            for i in range(STEPS)], dtype=jnp.float32)
     key = jax.random.PRNGKey(1009 * seed
-                             + {"sup": 1, "ema": 2, "gamma": 3}[arm])
+                             + {"sup": 1, "ema": 2, "gamma": 3}[base_arm]
+                             + (7000 if finetune else 0))
     istep = jnp.int32(0)
     curve = []
     t0 = time.time()
     for i in range(STEPS):
-        state, stats, key, istep = step(state, labeled_pool, weak_pool,
-                                        cw_sched, key, istep)
+        if finetune and i == PRETRAIN:
+            # teacher backfill at resume (train.py:167-173)
+            state = state.replace(
+                ema_params=jax.tree.map(jnp.copy, state.params),
+                ema_batch_stats=jax.tree.map(jnp.copy, state.batch_stats))
+            print(f"  [{arm} s{seed}] step {i}: teacher backfilled, "
+                  "semi-supervised phase begins", flush=True)
+        use = sup_step if (finetune and i < PRETRAIN) else step
+        state, stats, key, istep = use(state, labeled_pool, weak_pool,
+                                       cw_sched, key, istep)
         if (i + 1) % 50 == 0:  # bound the dispatch queue
             loss = float(stats["total_loss"])
         if (i + 1) % EVAL_EVERY == 0 or i == 0:
@@ -164,12 +192,13 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
             f1 = held_out_f1(ev, state, val_dev, val_np)
             rec = {"step": i + 1, "f1": f1,
                    "loss": float(stats["total_loss"])}
-            if flags.ema:
+            in_semi = flags.ema and not (finetune and i < PRETRAIN)
+            if in_semi:
                 rec["f1_ema"] = held_out_f1(ev, state, val_dev, val_np,
                                             use_ema=True)
             curve.append(rec)
             print(f"  [{arm} s{seed}] step {i + 1}: heldout F1 {f1:.3f}"
-                  + (f" ema {rec['f1_ema']:.3f}" if flags.ema else "")
+                  + (f" ema {rec['f1_ema']:.3f}" if in_semi else "")
                   + f" loss {rec['loss']:.3f} ({time.time() - t0:.0f}s, "
                   f"eval {time.time() - te:.1f}s)", flush=True)
     best = max(max(r["f1"], r.get("f1_ema", 0.0)) for r in curve)

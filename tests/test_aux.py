@@ -306,3 +306,67 @@ class TestNativeNormals:
         center[2] = (pts[:, 2].max() + center[2]) / 2
         outward = np.einsum("ni,ni->n", pts - center, got)
         assert (outward >= -1e-6).all()
+
+
+class TestVizDataScript:
+    """scripts/viz_data.py — the reference's three standalone debug-viz
+    scripts (scannet/data_viz.py, scannet/viz_transformed_ply.py,
+    ARKitScenes/viz_clean_ply.py) as one CLI."""
+
+    def _mod(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "viz_data", os.path.join(os.path.dirname(__file__), "..",
+                                     "scripts", "viz_data.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_scannet_scene(self, tmp_path, rng):
+        mod = self._mod()
+        prefix = str(tmp_path / "scene0000_00")
+        n = 200
+        np.save(prefix + "_vert.npy",
+                np.concatenate([rng.uniform(0, 4, (n, 3)),
+                                rng.uniform(0, 255, (n, 3))], 1))
+        np.save(prefix + "_ins_label.npy", rng.integers(0, 5, n))
+        np.save(prefix + "_sem_label.npy", rng.integers(0, 18, n))
+        np.save(prefix + "_bbox.npy",
+                np.array([[1, 1, 1, 0.5, 0.6, 0.7, 3.0]]))
+        out = str(tmp_path / "dump")
+        mod.scannet_scene(prefix, out)
+        for f in ("scene.ply", "scene_instance.ply", "scene_semantic.ply",
+                  "gt_boxes.ply"):
+            assert os.path.getsize(os.path.join(out, f)) > 0
+
+    def test_scannet_transform(self, tmp_path, rng):
+        mod = self._mod()
+        scan = "scene0000_00"
+        write_fake_raw_scannet(str(tmp_path), scan, rng, n=100)
+        out = str(tmp_path / "dump")
+        mod.scannet_transform(str(tmp_path / scan), out)
+        assert os.path.getsize(
+            os.path.join(out, f"{scan}_transformed.ply")) > 0
+
+    def test_arkit_clean(self, tmp_path, rng):
+        mod = self._mod()
+        scan = "41125722"
+        d = tmp_path / scan
+        prep = d / f"{scan}_offline_prepared_data"
+        prep.mkdir(parents=True)
+        n = 500
+        pts = rng.uniform(0, 4, (n, 3))
+        with open(d / f"{scan}_3dod_mesh.ply", "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n")
+            f.write(f"element vertex {n}\n".encode())
+            f.write(b"property float x\nproperty float y\nproperty float z\n")
+            f.write(b"property uchar red\nproperty uchar green\n"
+                    b"property uchar blue\nend_header\n")
+            for p in pts:
+                f.write(struct.pack("<fffBBB", *p, 10, 20, 30))
+        np.save(prep / f"{scan}_bbox.npy",
+                {"bboxes": rng.uniform(0, np.pi, (4, 7))},
+                allow_pickle=True)
+        out = str(tmp_path / "dump")
+        mod.arkit_clean(str(d), out)
+        assert os.path.getsize(os.path.join(out, f"{scan}_clean.ply")) > 0

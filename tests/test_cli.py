@@ -29,6 +29,11 @@ def test_train_then_eval(tmp_path):
     recs = [json.loads(l) for l in open(os.path.join(log_dir, "metrics.jsonl"))]
     assert any("train/total_loss" in r for r in recs)
     assert any("eval/quad_f1" in r for r in recs)
+    # eval-time supervised loss stats on val batches (reference
+    # evaluate_one_epoch, train.py:638-668) for both student and teacher
+    assert any("eval_student/loss" in r for r in recs)
+    assert any("eval_ema/loss" in r for r in recs)
+    assert any("eval_student/vote_loss" in r for r in recs)
     # --profile wrote a trace a user can open in TensorBoard/XProf
     assert glob.glob(os.path.join(log_dir, "profile", "**", "*.xplane.pb"),
                      recursive=True)
