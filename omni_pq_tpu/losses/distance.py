@@ -1,11 +1,11 @@
 """Legacy distance-based layout pseudo-label loss.
 
 Reference: models/utils/distance_util.py — `calc_distance_vertically`
-(:111-146) and `distance_loss_gamma_mixture` (:310-394), reachable only via
-`get_loss_distance` (loss_helper_pq.py:488-500), never from train.py/eval.py.
-Implemented for API-surface completeness; the spectral-clustering variant
-(distance_util.py:192-307, open3d + sklearn) stays deliberately omitted
-(PARITY.md) and the viz palette lives in utils/viz.py.
+(:111-146), `distance_loss_gamma_mixture` (:310-394) and the
+spectral-clustering debug variant `distance_loss_spectral_clustering`
+(:192-307), reachable only via `get_loss_distance`
+(loss_helper_pq.py:488-500), never from train.py/eval.py. Implemented for
+API-surface completeness; the viz palette lives in utils/viz.py.
 
 TPU-first redesign: the reference runs a Python loop over predicted quads
 with a running min-|distance| update on the GPU, then a per-scene host scipy
@@ -139,3 +139,101 @@ def distance_loss_gamma_mixture(points, semantic_labels, quad_corners,
     aux = {"distance": dist_b, "idx_array": idx_b, "keep_mask": keep_b,
            "layout_mask": layout}
     return loss, aux
+
+
+def spectral_layout_clustering(points, semantic_labels, n_select: int = 1000,
+                               lambdas=(0.1, 1.0, 0.0),
+                               threshold_k: float = 0.1,
+                               num_gt_quads=None, dump_path=None, seed=0):
+    """Spectral clustering of layout points — the reference's debug variant
+    distance_loss_spectral_clustering (distance_util.py:192-307), host-side
+    numpy/sklearn. Not a loss (the reference returns 0): an analysis tool
+    that partitions wall/door/window points into planar clusters.
+
+    Deviations from the reference, by necessity and documented: normals come
+    from this repo's k-NN PCA estimator (data/preprocess.py:estimate_normals,
+    threaded C++ core) instead of open3d's KDTree-hybrid estimate_normals
+    (not installed here); sampling uses a seeded numpy Generator instead of
+    `random.sample`. Both only change which of the equivalent planar
+    clusterings is found, not the method.
+
+    Args:
+      points: (N, 3) scene points (numpy).
+      semantic_labels: (N,) int labels; layout set is wall/door/window
+        = {1, 8, 9} (distance_util.py:322-325).
+      n_select: points sampled for the affinity matrix (SELECTION=1000).
+      lambdas: (euclid, cosine, d^2) distance weights (:278).
+      threshold_k: eigenvalue threshold choosing the cluster count (:295).
+      num_gt_quads: optional int; when given, prints the eigengap diagnostic
+        the reference prints under use_gt (:287-291).
+      dump_path: optional path; writes the reference's colored point dump
+        (x y z r g b nx ny nz 1.0 rows, :302-306).
+    Returns:
+      dict(labels (n_select,), K, selected (n_select, 3),
+           normals (n_select, 3), eigenvalues).
+    """
+    import numpy as np
+
+    from ..data.preprocess import estimate_normals
+
+    points = np.asarray(points)
+    semantic_labels = np.asarray(semantic_labels)
+    mask = np.isin(semantic_labels, LAYOUT_CLASSES)
+    layout = points[mask]
+    if len(layout) < 4:
+        return {"labels": np.zeros(0, np.int64), "K": 0,
+                "selected": np.zeros((0, 3)), "normals": np.zeros((0, 3)),
+                "eigenvalues": np.zeros(0)}
+    n_select = min(n_select, len(layout))
+    rng = np.random.default_rng(seed)
+    choice = rng.choice(len(layout), n_select, replace=False)
+    sel = layout[choice]
+
+    # pairwise euclid (:240)
+    euclid = np.sqrt(((sel[:, None] - sel[None]) ** 2).sum(-1))
+
+    # normals, flipped away from the layout centroid (:245-256: reference
+    # flips where (p - center) . n < 0)
+    normals = estimate_normals(layout, k=min(5, len(layout) - 1))
+    centered = layout - layout.mean(0)
+    flip = (centered * normals).sum(1) < 0
+    normals[flip] = -normals[flip]
+    sel_n = normals[choice]
+
+    cosine = 1.0 - sel_n @ sel_n.T + 1e-5  # (:262-268)
+    d = -(sel_n * sel).sum(1)  # plane offsets (:274-276)
+    d2 = np.abs(d[:, None] - d[None]) ** 2
+    distance = (lambdas[0] * euclid + lambdas[1] * cosine + lambdas[2] * d2)
+
+    # normalized affinity + eigen spectrum (:281-286)
+    std = distance.std()
+    Z = np.exp(-distance ** 2 / (2 * std ** 2))
+    Dm = np.diag(np.sum(Z, axis=1) ** (-0.5))
+    Zt = Dm @ Z @ Dm
+    eigenvalues = np.linalg.eigvalsh(Zt)[::-1]
+
+    if num_gt_quads is not None and num_gt_quads >= 1:
+        lo, hi = eigenvalues[num_gt_quads - 1], eigenvalues[num_gt_quads]
+        print(f"gt num quad {num_gt_quads}  threshold {lo} {hi} "
+              f"avg {(lo + hi) / 2}")
+        print(eigenvalues[:6])
+
+    K = int((eigenvalues > threshold_k).sum())
+    try:
+        from sklearn import cluster
+        labels = cluster.spectral_clustering(
+            n_clusters=max(K, 1), affinity=np.asarray(Zt), random_state=seed)
+    except ImportError:  # sklearn not installed: eigengap count only
+        labels = np.zeros(n_select, np.int64)
+
+    if dump_path is not None:
+        from ..utils.viz import label_palette
+        colors = label_palette(labels)
+        with open(dump_path, "w") as f:
+            for k in range(n_select):
+                c = colors[k] / 255.0
+                f.write(f"{sel[k][0]} {sel[k][1]} {sel[k][2]} "
+                        f"{c[0]} {c[1]} {c[2]} "
+                        f"{sel_n[k][0]} {sel_n[k][1]} {sel_n[k][2]} 1.0\n")
+    return {"labels": np.asarray(labels), "K": K, "selected": sel,
+            "normals": sel_n, "eigenvalues": eigenvalues}

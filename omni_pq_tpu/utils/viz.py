@@ -36,6 +36,19 @@ def heat_colors(values: np.ndarray) -> np.ndarray:
     return PALETTE[lo] * (1 - frac) + PALETTE[hi] * frac
 
 
+# the reference Palette's 6 base colors (distance_util.py:27-34), cycled by
+# label id (its distance-blend second color is the heat_colors role above)
+LABEL_PALETTE = np.array([
+    [58, 232, 27], [240, 247, 0], [13, 42, 250],
+    [250, 7, 250], [173, 0, 254], [255, 0, 0],
+], dtype=np.uint8)
+
+
+def label_palette(labels: np.ndarray) -> np.ndarray:
+    """(N,) int label ids -> (N, 3) uint8 colors (Palette idx % 6)."""
+    return LABEL_PALETTE[np.asarray(labels, dtype=np.int64) % 6]
+
+
 def dump_pc(points: np.ndarray, path: str, colors: np.ndarray = None):
     """(N,3) points [+ (N,3) 0-255 colors] -> whitespace text dump
     (dump_helper.dump_pc style)."""

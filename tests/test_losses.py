@@ -441,3 +441,45 @@ def test_get_loss_empty_scene_finite(model_out):
 
     g = jax.grad(f)(ep["last_center"])
     assert np.isfinite(np.asarray(g)).all()
+
+
+class TestSpectralLayoutClustering:
+    """distance_util.py:192-307 debug variant: planar clusters of layout
+    points via the normalized-affinity eigengap + sklearn spectral
+    clustering."""
+
+    def test_two_walls_cluster(self, tmp_path):
+        from omni_pq_tpu.losses.distance import spectral_layout_clustering
+        rng = np.random.default_rng(0)
+        n = 300
+        # two perpendicular walls
+        w1 = np.stack([np.zeros(n) + rng.normal(0, 0.01, n),
+                       rng.uniform(0, 4, n), rng.uniform(0, 2.5, n)], 1)
+        w2 = np.stack([rng.uniform(0, 4, n),
+                       np.zeros(n) + rng.normal(0, 0.01, n),
+                       rng.uniform(0, 2.5, n)], 1)
+        pts = np.concatenate([w1, w2])
+        sem = np.ones(2 * n, np.int64)  # wall class
+        dump = tmp_path / "clusters.txt"
+        out = spectral_layout_clustering(pts, sem, n_select=200,
+                                         dump_path=str(dump), seed=0)
+        assert out["K"] >= 2
+        assert out["selected"].shape == (200, 3)
+        assert len(out["labels"]) == 200
+        # the dump has one "x y z r g b nx ny nz 1.0" row per point
+        lines = open(dump).read().strip().split("\n")
+        assert len(lines) == 200 and len(lines[0].split()) == 10
+        # points from the two walls land in different clusters (majority)
+        sel = out["selected"]
+        from_w1 = sel[:, 0] < 0.5
+        lab = out["labels"]
+        if from_w1.sum() and (~from_w1).sum():
+            a = np.bincount(lab[from_w1]).argmax()
+            b = np.bincount(lab[~from_w1]).argmax()
+            assert a != b
+
+    def test_no_layout_points(self):
+        from omni_pq_tpu.losses.distance import spectral_layout_clustering
+        pts = np.random.default_rng(1).uniform(size=(50, 3))
+        out = spectral_layout_clustering(pts, np.zeros(50, np.int64))
+        assert out["K"] == 0 and len(out["labels"]) == 0
