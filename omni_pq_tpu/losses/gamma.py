@@ -163,7 +163,8 @@ def _scene_metric(quad_scores, quad_center, normal_vector, quad_size,
     return (jnp.where(valid, metric_normal, z),
             jnp.where(valid, metric_vertical, z),
             jnp.where(valid, metric_size, z),
-            jnp.where(valid, metric_score, z))
+            jnp.where(valid, metric_score, z),
+            valid.astype(jnp.float32))
 
 
 def quad_point_mixture_metric(score, center, normal, quad_size, pc_ds, pn_ds,
@@ -241,13 +242,16 @@ def gamma_mixture_guide_criterion(ep: Dict, rng_key,
                                              jnp.ndarray, jnp.ndarray]:
     """Batch version (:130-192): one random confident quad per scene, 10k
     random points, returns the 4 batch-mean metrics (normal, vertical, size,
-    score)."""
+    score) plus the engaged fraction — scenes where a confident quad existed
+    AND the keep-mask passed the >= 300-point gate (the criterion actually
+    fired; the reference silently contributes zeros otherwise)."""
     prefix = "last_"
     B = ep["point_clouds"].shape[0]
     keys = jax.random.split(rng_key, B)
     fn = functools.partial(_scene_metric, use_fitted=use_fitted)
-    mn, mv, ms, msc = jax.vmap(fn)(
+    mn, mv, ms, msc, engaged = jax.vmap(fn)(
         ep[f"{prefix}quad_scores"], ep[f"{prefix}quad_center"],
         ep[f"{prefix}normal_vector"], ep[f"{prefix}quad_size"],
         ep["point_clouds"][..., :3], ep["vertex_normals"], keys)
-    return (jnp.mean(mn), jnp.mean(mv), jnp.mean(ms), jnp.mean(msc))
+    return (jnp.mean(mn), jnp.mean(mv), jnp.mean(ms), jnp.mean(msc),
+            jnp.mean(engaged))

@@ -103,7 +103,7 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
             gm_ep = {k: v[B:] for k, v in ep.items()}
             gm_ep["point_clouds"] = weak["point_clouds"][..., :3]
             gm_ep["vertex_normals"] = weak["vertex_normals"]
-            mn, mv, ms, msc = losses.gamma_mixture_guide_criterion(
+            mn, mv, ms, msc, engaged = losses.gamma_mixture_guide_criterion(
                 gm_ep, rng_gamma, use_fitted=flags.use_fitted_mixture)
             gm_loss = (flags.lambda_metric_normal * mn
                        + flags.lambda_metric_vertical * mv
@@ -114,6 +114,7 @@ def make_train_step(model, cfg: ModelConfig, mean_size_arr,
             stats["metric_size"] = ms
             stats["metric_score"] = msc
             stats["gamma_mixture_filter_loss"] = gm_loss
+            stats["gamma_engaged_frac"] = engaged
             total = total + gm_loss
 
         # 3. mean-teacher consistency over the full double batch

@@ -27,8 +27,41 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STEPS = 60
+STEPS = int(os.environ.get("FM_STEPS", 60))
 CHECK_EVERY = 5
+# supervised-only steps run FIRST from the shared init; both criterion runs
+# then start from that pretrained state — the reference's actual regime
+# (train.sh:14-31 resumes gamma fine-tuning from a supervised base), where
+# the fixed keep-mask plausibly passes the >= 300-point gate (VERDICT r3 #6)
+PRETRAIN = int(os.environ.get("FM_PRETRAIN", 0))
+
+
+def pretrain(batches, model, cfg, variables, steps):
+    """Supervised-only pretraining shared by both criterion runs."""
+    import jax
+    import jax.numpy as jnp
+    from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+    from omni_pq_tpu.train import (TrainFlags, OptimizerConfig,
+                                   create_train_state, make_train_step)
+
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.copy, variables),
+        OptimizerConfig(total_steps=steps + STEPS))
+    flags = TrainFlags(ema=False, gamma_mixture=False, pc_loss=True)
+    step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags,
+                           donate=True)
+    key = jax.random.PRNGKey(3)
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        state, stats = step(state, batches[i % len(batches)][0],
+                            batches[i % len(batches)][0], k,
+                            jnp.float32(0.0))
+        if (i + 1) % 50 == 0:
+            loss = float(stats["total_loss"])
+            print(f"[pretrain] step {i + 1}/{steps} loss {loss:.2f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    return {"params": state.params, "batch_stats": state.batch_stats}
 
 
 def run(flags_kw, batches, model, cfg, variables, label):
@@ -63,7 +96,7 @@ def run(flags_kw, batches, model, cfg, variables, label):
             pending.append((i + 1, {k2: stats[k2] for k2 in
                             ("metric_normal", "metric_vertical", "metric_size",
                              "metric_score", "gamma_mixture_filter_loss",
-                             "total_loss")}))
+                             "gamma_engaged_frac", "total_loss")}))
     np.asarray(pending[-1][1]["total_loss"])  # drain the dispatch queue
     dt = (time.time() - t_loop) / (STEPS - 1)
     for s, d in pending:
@@ -94,24 +127,30 @@ def main():
         batches.append((labeled, weak))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0),
                                     batches[0][0]["point_clouds"])
+    if PRETRAIN:
+        print(f"supervised pretrain: {PRETRAIN} steps", flush=True)
+        variables = pretrain(batches, model, cfg, variables, PRETRAIN)
 
     fixed_curve, fixed_dt = run({"use_fitted_mixture": False}, batches,
                                 model, cfg, variables, "fixed")
     fitted_curve, fitted_dt = run({"use_fitted_mixture": True}, batches,
                                   model, cfg, variables, "fitted")
 
-    out = {"steps": STEPS,
+    out = {"steps": STEPS, "pretrain": PRETRAIN,
            "regime": "3+3 scenes/step, 40k pts, synthetic rooms, all losses",
            "fixed": {"ms_per_step": round(fixed_dt * 1e3, 1),
                      "curve": fixed_curve},
            "fitted": {"ms_per_step": round(fitted_dt * 1e3, 1),
                       "curve": fitted_curve}}
     os.makedirs("docs", exist_ok=True)
-    with open("docs/fitted_mixture_curves.json", "w") as f:
+    suffix = f"_pre{PRETRAIN}" if PRETRAIN else ""
+    with open(f"docs/fitted_mixture_curves{suffix}.json", "w") as f:
         json.dump(out, f, indent=1)
 
     lines = [
-        "# Fitted vs fixed gamma-mixture criterion (full scale, real TPU)",
+        ("# Fitted vs fixed gamma-mixture criterion (full scale, real TPU)"
+         + (f" — from a {PRETRAIN}-step supervised-pretrained state"
+            if PRETRAIN else "")),
         "",
         "Command: `python scripts/fitted_mixture_tpu.py` (one v5e chip).",
         "",
@@ -129,18 +168,22 @@ def main():
         f"({(fitted_dt / fixed_dt - 1) * 100:.0f}%) — vs the reference's "
         "per-scene-per-step host scipy round trip.",
         "",
-        "| step | criterion | m_normal | m_vertical | m_size | m_score | total loss |",
-        "|---|---|---|---|---|---|---|",
+        "| step | criterion | engaged | m_normal | m_vertical | m_size | m_score | total loss |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, curve in (("fixed", fixed_curve), ("fitted", fitted_curve)):
         for c in curve:
             lines.append(
-                f"| {c['step']} | {name} | {c['metric_normal']:.4f} | "
+                f"| {c['step']} | {name} | "
+                f"{c.get('gamma_engaged_frac', float('nan')):.2f} | "
+                f"{c['metric_normal']:.4f} | "
                 f"{c['metric_vertical']:.4f} | {c['metric_size']:.4f} | "
                 f"{c['metric_score']:.4f} | {c['total_loss']:.3f} |")
-    with open("docs/FITTED_MIXTURE.md", "w") as f:
+    md = f"docs/FITTED_MIXTURE{suffix.upper()}.md" if suffix else \
+        "docs/FITTED_MIXTURE.md"
+    with open(md, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print("wrote docs/FITTED_MIXTURE.md", flush=True)
+    print(f"wrote {md}", flush=True)
 
 
 if __name__ == "__main__":

@@ -233,7 +233,7 @@ class TestGammaMixture:
             merged = dict(ep)
             merged["point_clouds"] = pc
             merged["vertex_normals"] = normals
-            mn, mv, ms, msc = losses.gamma_mixture_guide_criterion(
+            mn, mv, ms, msc, _eng = losses.gamma_mixture_guide_criterion(
                 merged, jax.random.PRNGKey(0))
             return 5e-4 * (mn + mv + ms + msc)
 

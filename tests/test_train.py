@@ -310,3 +310,55 @@ def test_lr_schedule_matches_reference_scheduler():
                 g["lr"], float(f(step)), rtol=1e-5, atol=1e-9,
                 err_msg=f"step {step}")
         sched.step()
+
+
+class TestEvalDecodeStep:
+    """make_eval_decode_step: the packed (2-array) eval output must equal
+    the full eval_step's end_points on every decode key, and the loss-stat
+    vector must equal losses.get_loss on the merged dict."""
+
+    def test_matches_full_eval_step(self):
+        import functools
+        from omni_pq_tpu.config import SCANNET_MEAN_SIZES
+        from omni_pq_tpu.data.synthetic import make_batch
+        from omni_pq_tpu.models import PQTransformer
+        from omni_pq_tpu.train import (OptimizerConfig, create_train_state,
+                                       make_eval_step, make_eval_decode_step,
+                                       unpack_eval_outputs)
+        from omni_pq_tpu import losses
+        from tests.util import TINY
+
+        model = PQTransformer(TINY)
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng, 2, TINY.num_points)
+        pc = jnp.asarray(batch["point_clouds"])
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), pc)
+        state = create_train_state(variables, OptimizerConfig(total_steps=1))
+
+        full = make_eval_step(model)(state, pc)
+        step = make_eval_decode_step(model, SCANNET_MEAN_SIZES)
+        labels = {k: np.asarray(v) for k, v in batch.items()
+                  if getattr(np.asarray(v).dtype, "kind", "O") in "fiub"}
+        obj, quad, vec = step(state, pc, labels, with_loss=True)
+        ep = unpack_eval_outputs(np.asarray(obj), np.asarray(quad),
+                                 TINY.num_heading_bin, TINY.num_size_cluster,
+                                 TINY.num_class)
+        for k, v in ep.items():
+            np.testing.assert_array_equal(v, np.asarray(full[k]), err_msg=k)
+
+        merged = dict(full)
+        merged.update({k: jnp.asarray(v) for k, v in labels.items()})
+        _, want_stats = jax.jit(lambda d: losses.get_loss(
+            d, SCANNET_MEAN_SIZES,
+            num_layer=TINY.num_decoder_layers))(
+                {k: v for k, v in merged.items()})
+        names = step.stat_names
+        assert len(names) == len(np.asarray(vec))
+        for name, got in zip(names, np.asarray(vec)):
+            np.testing.assert_allclose(
+                got, float(want_stats[name]), rtol=1e-5, atol=1e-6,
+                err_msg=name)
+
+        # ema variant runs and differs structurally nowhere
+        obj2, quad2, vec2 = step(state, pc, use_ema=True, with_loss=False)
+        assert vec2 is None and obj2.shape == obj.shape
