@@ -50,7 +50,11 @@ def main():
 
     log("backend:", jax.default_backend(), jax.devices())
     on_tpu = jax.default_backend() == "tpu"
-    cfg = ModelConfig()
+    # bf16 Dense/MXU compute is the training default (bench.py, the CLIs);
+    # OMNI_PQ_F32=1 measures the --f32 mode
+    cfg = ModelConfig(
+        compute_dtype=("float32" if os.environ.get("OMNI_PQ_F32") == "1"
+                       else "bfloat16"))
     B = 3
     model = PQTransformer(cfg)
     rng = np.random.default_rng(0)
