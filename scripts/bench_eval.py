@@ -1,0 +1,213 @@
+"""End-to-end eval throughput on one chip, reproducibly.
+
+Measures the streaming eval loop at the reference's eval regime (batch 16,
+40k-point scenes, `/root/reference/eval.sh`): the jitted forward +
+on-device output packing + eval-time loss stat_dict (reference
+train.py:638-668 parity) + the per-batch host fetch, then the vectorized
+host decode (quad + object parse, NMS, calculator accumulation) on the
+fetched arrays, and finally the F1/mAP reductions. This is the same code
+path `cli/train.py:evaluate` runs at val_freq; benchmarks/TUNING.md
+("Round 4: eval path") logs the measured history (~1.1 -> ~26 scenes/s).
+
+Random-init weights are the WORST case for the decode stage: objectness is
+uncalibrated so essentially every proposal survives thresholding and NMS
+runs at full length. Real checkpoints decode faster.
+
+Dtype follows the trainers' default (bfloat16 MXU compute); OMNI_PQ_F32=1
+measures the --f32 mode.
+
+Run: python scripts/bench_eval.py   (on the TPU box; ~2 min incl. compile)
+Prints ONE JSON line with the streaming scenes/s and the per-stage costs.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from omni_pq_tpu.utils.compile_cache import enable as enable_cache
+    enable_cache()
+    from omni_pq_tpu.config import DatasetConfig, ModelConfig
+    from omni_pq_tpu.data.synthetic import make_batch
+    from omni_pq_tpu.models import PQTransformer
+    from omni_pq_tpu.train import (OptimizerConfig, create_train_state,
+                                   make_eval_decode_step,
+                                   unpack_eval_outputs)
+    from omni_pq_tpu.evals import (parse_quad_predictions,
+                                   parse_quad_groundtruths,
+                                   parse_predictions, parse_groundtruths,
+                                   QuadAPCalculator, APCalculator)
+
+    log("backend:", jax.default_backend(), jax.devices())
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = ModelConfig(
+        compute_dtype=("float32" if os.environ.get("OMNI_PQ_F32") == "1"
+                       else "bfloat16"))
+    log("compute_dtype:", cfg.compute_dtype)
+    B = 16  # reference eval batch (eval.sh)
+    NB = 4 if on_tpu else 1
+    N = cfg.num_points if on_tpu else 4096
+    model = PQTransformer(cfg)
+    dataset_config = DatasetConfig()
+    mean_sizes = np.asarray(dataset_config.mean_size_arr, np.float32)
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    batches = [make_batch(rng, B, N) for _ in range(NB)]
+    log("data gen: %.1fs (%d scenes)" % (time.time() - t0, NB * B))
+
+    t0 = time.time()
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.asarray(batches[0]["point_clouds"]))
+    jax.block_until_ready(variables)
+    state = create_train_state(variables, OptimizerConfig(total_steps=100))
+    log("init: %.1fs" % (time.time() - t0))
+
+    decode_step = make_eval_decode_step(model, mean_sizes)
+    _LOSS_KEYS = ("vote_label", "center_label", "gt_quad_centers")
+
+    def labels_of(batch):
+        return {k: np.asarray(v) for k, v in batch.items()
+                if getattr(np.asarray(v).dtype, "kind", "O") in "fiub"}
+
+    def run_batch(batch, with_loss=True):
+        """One streaming step: dispatch + forward + pack + host fetch."""
+        obj, quad, vec = decode_step(
+            state, jnp.asarray(batch["point_clouds"]),
+            labels_of(batch) if with_loss else None,
+            use_ema=False,
+            with_loss=with_loss and all(k in batch for k in _LOSS_KEYS))
+        return (np.asarray(obj), np.asarray(quad),
+                None if vec is None else np.asarray(vec))
+
+    t0 = time.time()
+    fetched = [run_batch(batches[0])]
+    log("first eval step (compile): %.1fs" % (time.time() - t0))
+    for b in batches[1:]:
+        fetched.append(run_batch(b))
+
+    # device + fetch: per-batch, fetch included — the real eval loop syncs
+    # every batch to hand arrays to the host decode (unlike training, which
+    # chains through state; see bench.py). Measured twice: the full eval
+    # loop (forward + eval-time loss stat_dict + label upload) and pure
+    # inference (forward + packed fetch only — the deployment path).
+    dev_ms = {}
+    for mode, with_loss in (("eval", True), ("infer", False)):
+        t0 = time.time()
+        run_batch(batches[0], with_loss)  # compile the mode's graph
+        if mode == "infer":
+            log("infer-mode compile: %.1fs" % (time.time() - t0))
+        best = float("inf")
+        for _ in range(3 if on_tpu else 1):
+            t0 = time.time()
+            for b in batches:
+                run_batch(b, with_loss)
+            best = min(best, (time.time() - t0) / NB * 1e3)
+        dev_ms[mode] = best
+        log("device %s+fetch: %.1f ms/batch" % (mode, best))
+    dev_eval_ms = dev_ms["eval"]
+
+    # host decode on the fetched arrays (CPU; vectorized corner/NMS path)
+    config_dict = {"remove_empty_box": False, "use_3d_nms": True,
+                   "nms_iou": 0.25, "use_old_type_nms": False,
+                   "cls_nms": True, "per_class_proposal": True,
+                   "conf_thresh": 0.0, "quad_thresh": 0.5,
+                   "dataset_config": dataset_config, "nms_iou_quad": 0.25}
+    quad_calc = QuadAPCalculator(ap_iou_thresh=0.5)
+    obj_calc = APCalculator(ap_iou_thresh=0.25)
+    dec_ms = float("inf")
+    for rep in range(2):
+        t0 = time.time()
+        for batch, (obj, quad, vec) in zip(batches, fetched):
+            ep = unpack_eval_outputs(obj, quad, cfg.num_heading_bin,
+                                     cfg.num_size_cluster, cfg.num_class)
+            merged = dict(ep)
+            merged.update(batch)
+            pred_cls, _, pred_corners = parse_quad_predictions(
+                merged, config_dict, "last_")
+            gt_cls, gt_corners = parse_quad_groundtruths(merged, config_dict)
+            obj_pred, _ = parse_predictions(merged, config_dict, "last_")
+            obj_gt = parse_groundtruths(merged, config_dict)
+            if rep == 0:  # accumulate once; step() is timed, not re-fed
+                quad_calc.step(pred_cls, gt_cls, pred_corners, gt_corners,
+                               list(batch["horizontal_quads"]))
+                obj_calc.step(obj_pred, obj_gt)
+        dec_ms = min(dec_ms, (time.time() - t0) / NB * 1e3)
+    log("host decode: %.1f ms/batch" % dec_ms)
+
+    # pipelined streaming: dispatch batch i+1 BEFORE fetching + decoding
+    # batch i — JAX dispatch is async, so the host decode of batch i can
+    # overlap the device forward of batch i+1. Measured on this box the win
+    # is within tunnel/load noise (the fetch round trip, not the decode, is
+    # what serializes), so cli/train.py keeps the simpler serial loop; this
+    # stays here as the measurement.
+    def dispatch(batch, with_loss=True):
+        return decode_step(
+            state, jnp.asarray(batch["point_clouds"]),
+            labels_of(batch) if with_loss else None,
+            use_ema=False,
+            with_loss=with_loss and all(k in batch for k in _LOSS_KEYS))
+
+    def decode_host(batch, obj, quad):
+        ep = unpack_eval_outputs(np.asarray(obj), np.asarray(quad),
+                                 cfg.num_heading_bin, cfg.num_size_cluster,
+                                 cfg.num_class)
+        merged = dict(ep)
+        merged.update(batch)
+        parse_quad_predictions(merged, config_dict, "last_")
+        parse_quad_groundtruths(merged, config_dict)
+        parse_predictions(merged, config_dict, "last_")
+        parse_groundtruths(merged, config_dict)
+
+    pipe_ms = float("inf")
+    for _ in range(3 if on_tpu else 1):
+        t0 = time.time()
+        pending = [dispatch(batches[0])]
+        for i, b in enumerate(batches):
+            if i + 1 < NB:
+                pending.append(dispatch(batches[i + 1]))
+            obj, quad, vec = pending[i]
+            decode_host(b, obj, quad)
+            if vec is not None:
+                np.asarray(vec)
+        pipe_ms = min(pipe_ms, (time.time() - t0) / NB * 1e3)
+    log("pipelined eval (device+decode overlapped): %.1f ms/batch" % pipe_ms)
+
+    t0 = time.time()
+    f1 = quad_calc.compute_F1(calculated=True)
+    mets = obj_calc.compute_metrics()
+    final_s = time.time() - t0
+    log("final metrics: %.1fs (F1=%.3f mAP=%.3f over %d scenes)" % (
+        final_s, f1, mets["mAP"], NB * B))
+
+    scenes_per_sec = B / ((dev_eval_ms + dec_ms) / 1e3)
+    print(json.dumps({
+        "metric": "eval scenes/sec/chip (fwd+loss+fetch+decode, bs16)",
+        "value": round(scenes_per_sec, 2),
+        "unit": "scenes/s",
+        "device_ms_per_batch": round(dev_eval_ms, 1),
+        "infer_ms_per_batch": round(dev_ms["infer"], 1),
+        "infer_scenes_per_sec": round(
+            B / ((dev_ms["infer"] + dec_ms) / 1e3), 2),
+        "decode_ms_per_batch": round(dec_ms, 1),
+        "pipelined_ms_per_batch": round(pipe_ms, 1),
+        "pipelined_scenes_per_sec": round(B / (pipe_ms / 1e3), 2),
+        "final_metrics_s": round(final_s, 2),
+        "compute_dtype": cfg.compute_dtype,
+        "note": "random-init worst case: every proposal survives NMS",
+    }))
+
+
+if __name__ == "__main__":
+    main()
