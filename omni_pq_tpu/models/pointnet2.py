@@ -98,7 +98,12 @@ class SAModuleVotes(nn.Module):
             inds = fps(xyz, self.npoint)
         new_xyz = gather_points(xyz, inds)
         # fused kernel: neighbor indices + relative xyz in one pass (the
-        # separate per-row gather was the single hottest XLA op at sa1)
+        # separate per-row gather was the single hottest XLA op at sa1).
+        # Feature grouping stays the XLA gather: the fully-fused
+        # ball_query_group_feats (one-hot MXU feature deposit) was measured
+        # a net step REGRESSION here — 95.4-95.8 vs 94.0-94.1 ms/step —
+        # because sa2's K=32 deposit matmuls cost more than the take_along
+        # rows they replace (benchmarks/TUNING.md round 4).
         idx, grouped_xyz = ball_query_group(self.radius, self.nsample, xyz,
                                             new_xyz)
         if self.normalize_xyz:

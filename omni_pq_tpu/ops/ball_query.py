@@ -85,9 +85,14 @@ def _morton_code(pts):
 
 
 def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
-               tbl_ref, cnt_ref, x_ref, y_ref, z_ref,
+               feat_dim: int, tbl_ref, cnt_ref, x_ref, y_ref, z_ref,
                cx_ref, cy_ref, cz_ref, *rest):
-    if emit_values:
+    f_ref = None
+    if feat_dim:  # implies emit_values
+        (f_ref, out_ref, gx_ref, gy_ref, gz_ref, gf_ref,
+         acc_ref, count_ref, col_ref, vx_ref, vy_ref, vz_ref,
+         vf_ref) = rest
+    elif emit_values:
         (out_ref, gx_ref, gy_ref, gz_ref,
          acc_ref, count_ref, col_ref, vx_ref, vy_ref, vz_ref) = rest
     else:
@@ -108,6 +113,8 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
             vx_ref[:] = jnp.zeros((T, nsample), jnp.float32)
             vy_ref[:] = jnp.zeros((T, nsample), jnp.float32)
             vz_ref[:] = jnp.zeros((T, nsample), jnp.float32)
+        if feat_dim:
+            vf_ref[:] = jnp.zeros((T, nsample * feat_dim), jnp.float32)
 
     real = j < cnt_ref[b, st]
     not_full = jnp.min(count_ref[:]) < nsample
@@ -225,6 +232,25 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
                                 mode="promise_in_bounds")[:, :nsample]
                             ref[:] = jnp.where(inw, g - ctr_col, ref[:])
 
+            if feat_dim:
+                # feature-row deposit on the MXU: per slot k, a one-hot
+                # (T, C) selection matrix (row t picks the chunk column of
+                # t's fresh hit for slot k) matmuls the resident feature
+                # chunk (C, feat_dim). One-hot x value is EXACT in any
+                # dtype (each output element is one product of value * 1
+                # accumulated with zeros), so this is bitwise equal to the
+                # XLA row-gather it replaces — at MXU throughput instead of
+                # ~11.5 ns/row gather overhead (TUNING.md round 4).
+                fk = f_ref[0]  # (C, feat_dim), original dtype
+                ccols = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+                for k in range(nsample):
+                    onehot = (fresh[:, k:k + 1]
+                              & (ccols == local[:, k:k + 1])).astype(fk.dtype)
+                    dep_k = jnp.dot(onehot, fk,
+                                    preferred_element_type=jnp.float32)
+                    sl = slice(k * feat_dim, (k + 1) * feat_dim)
+                    vf_ref[:, sl] = vf_ref[:, sl] + dep_k
+
             count_ref[:] = new_count
 
     @pl.when(j == nslots - 1)
@@ -238,6 +264,13 @@ def _bq_kernel(radius: float, nsample: int, n_valid: int, emit_values: bool,
             gx_ref[0] = jnp.where(filled, vx_ref[:], vx_ref[:, 0:1])
             gy_ref[0] = jnp.where(filled, vy_ref[:], vy_ref[:, 0:1])
             gz_ref[0] = jnp.where(filled, vz_ref[:], vz_ref[:, 0:1])
+        if feat_dim:
+            vf = vf_ref[:]
+            f0 = vf[:, :feat_dim]
+            for k in range(nsample):
+                sl = slice(k * feat_dim, (k + 1) * feat_dim)
+                gf_ref[0, :, sl] = jnp.where(
+                    filled[:, k:k + 1], vf[:, sl], f0).astype(gf_ref.dtype)
 
 
 def _chunk_tables(ctr, cb, radius, ntiles, nchunks):
@@ -271,7 +304,8 @@ def _chunk_tables(ctr, cb, radius, ntiles, nchunks):
     return tbl, cnt
 
 
-def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
+def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool,
+               features=None):
     assert nsample <= 128, "searchsorted deposit uses 128 rank lanes"
     B, N, _ = xyz.shape
     S = new_xyz.shape[1]
@@ -281,6 +315,12 @@ def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
 
     pts = jnp.pad(xyz, ((0, 0), (0, n_pad), (0, 0)), constant_values=1e6)
     ctr = jnp.pad(new_xyz, ((0, 0), (0, s_pad), (0, 0)), constant_values=1e6)
+    feat_dim = 0
+    if features is not None:
+        assert emit_values
+        cf = features.shape[-1]
+        feat_dim = cf + ((-cf) % 128)  # lane-pad the channel dim
+        feats = jnp.pad(features, ((0, 0), (0, n_pad), (0, feat_dim - cf)))
 
     # Morton-order the centers (pure reordering; padding slots carry the
     # max key and collect at the end). Keys are computed on the UNPADDED
@@ -323,26 +363,51 @@ def _bq_pallas(radius: float, nsample: int, xyz, new_xyz, emit_values: bool):
                pltpu.VMEM((_TILE, 128), jnp.int32)]  # searchsorted payload
     if emit_values:
         scratch += [pltpu.VMEM((_TILE, nsample), jnp.float32)] * 3
+    in_specs = [pt_spec] * 3 + [ct_spec] * 3
+    out_specs = (o_spec, o_spec, o_spec, o_spec) if emit_values else o_spec
+    out_shape = ((i32_out, f32_out, f32_out, f32_out) if emit_values
+                 else i32_out)
+    operands = [pts_t[:, 0], pts_t[:, 1], pts_t[:, 2],
+                ctr_t[:, 0], ctr_t[:, 1], ctr_t[:, 2]]
+    if feat_dim:
+        in_specs = in_specs + [pl.BlockSpec(
+            (1, _CHUNK, feat_dim),
+            lambda b, st, j, tbl, cnt: (b, tbl[b, st, j], 0),
+            memory_space=pltpu.VMEM)]
+        operands.append(feats)
+        gf_spec = pl.BlockSpec((1, _TILE, nsample * feat_dim),
+                               lambda b, st, j, tbl, cnt: (b, st, 0),
+                               memory_space=pltpu.VMEM)
+        out_specs = out_specs + (gf_spec,)
+        out_shape = out_shape + (jax.ShapeDtypeStruct(
+            (B, spad, nsample * feat_dim), features.dtype),)
+        scratch.append(pltpu.VMEM((_TILE, nsample * feat_dim), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tbl, cnt in SMEM
         grid=(B, ntiles, nchunks),
-        in_specs=[pt_spec] * 3 + [ct_spec] * 3,
-        out_specs=(o_spec, o_spec, o_spec, o_spec) if emit_values else o_spec,
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(_bq_kernel, float(radius), int(nsample), N,
-                          emit_values),
+                          emit_values, feat_dim),
         grid_spec=grid_spec,
-        out_shape=((i32_out, f32_out, f32_out, f32_out) if emit_values
-                   else i32_out),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(tbl, cnt, pts_t[:, 0], pts_t[:, 1], pts_t[:, 2],
-      ctr_t[:, 0], ctr_t[:, 1], ctr_t[:, 2])
+    )(tbl, cnt, *operands)
     # un-permute centers back to caller order
     inv = jnp.argsort(corder, axis=1)[..., None]
+    if feat_dim:
+        idx, gx, gy, gz, gf = out
+        idx = jnp.take_along_axis(idx, inv, axis=1)[:, :S]
+        grouped = jnp.stack([jnp.take_along_axis(v, inv, axis=1)[:, :S]
+                             for v in (gx, gy, gz)], axis=-1)
+        gf = jnp.take_along_axis(gf, inv, axis=1)[:, :S]
+        gf = gf.reshape(B, S, nsample, feat_dim)[..., :features.shape[-1]]
+        return idx, grouped, gf
     if emit_values:
         idx, gx, gy, gz = out
         idx = jnp.take_along_axis(idx, inv, axis=1)[:, :S]
@@ -428,3 +493,76 @@ def _bqg_bwd(radius, nsample, res, cot):
 
 
 ball_query_group.defvjp(_bqg_fwd, _bqg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def ball_query_group_feats(radius: float, nsample: int, xyz: jax.Array,
+                           new_xyz: jax.Array, features: jax.Array):
+    """Fused ball query + relative-xyz grouping + feature-row grouping.
+
+    (B,N,3) points x (B,S,3) centers x (B,N,C) features ->
+    (idx (B,S,nsample) i32, grouped_xyz (B,S,nsample,3) f32,
+     grouped_feats (B,S,nsample,C) features.dtype) where
+    grouped_feats == features[idx] — the full QueryAndGroup composition
+    (pointnet2_utils.py:294-352) with use_xyz's feature gather folded into
+    the kernel: the feature rows are deposited by per-slot one-hot MXU
+    matmuls against the chunk already resident in VMEM, replacing the XLA
+    row-gather (~11.5 ns/row; the sa2/sa3 take_along fusions were ~4.5
+    ms/step of the round-4 94 ms train step). Bitwise equal to
+    group_points(features, idx) — one-hot x value is exact in any dtype.
+
+    No-hit centers follow the reference padding semantics (idx row 0s):
+    grouped_xyz rows are xyz[0] - center, grouped_feats rows features[0]
+    (zero-initialized idx buffer, ball_query_gpu.cu:38-45).
+    """
+    return _bqg_feats_fwd_impl(radius, nsample, xyz, new_xyz, features)
+
+
+def _bqg_feats_fwd_impl(radius, nsample, xyz, new_xyz, features):
+    from .interpolate import group_points
+    xyz = xyz.astype(jnp.float32)
+    new_xyz = new_xyz.astype(jnp.float32)
+    if xyz.shape[1] * new_xyz.shape[1] <= 256 * 1024:
+        idx = ball_query_ref(radius, nsample, jax.lax.stop_gradient(xyz),
+                             jax.lax.stop_gradient(new_xyz))
+        flat = jnp.take_along_axis(
+            xyz, idx.reshape(idx.shape[0], -1)[..., None], axis=1)
+        grouped = flat.reshape(idx.shape + (3,)) - new_xyz[:, :, None, :]
+        return idx, grouped, group_points(features, idx)
+    idx, grouped, gf = _bq_pallas(
+        radius, nsample, jax.lax.stop_gradient(xyz),
+        jax.lax.stop_gradient(new_xyz), True,
+        features=jax.lax.stop_gradient(features))
+    # no-hit rows: the kernel leaves zeros where the reference reads row 0
+    # (same patch as _ball_query_group_fwd_impl, extended to features)
+    rel0 = xyz[:, :1] - new_xyz  # (B, S, 3)
+    no_hit = (jnp.all(idx == 0, axis=-1)
+              & (jnp.sum(rel0 * rel0, axis=-1) >= radius * radius))
+    grouped = jnp.where(no_hit[..., None, None], rel0[:, :, None, :], grouped)
+    gf = jnp.where(no_hit[..., None, None], features[:, :1][:, :, None], gf)
+    return idx, grouped, gf
+
+
+def _bqg_feats_fwd(radius, nsample, xyz, new_xyz, features):
+    out = _bqg_feats_fwd_impl(radius, nsample, xyz, new_xyz, features)
+    idx = out[0]
+    return out, (idx, xyz.shape, features.shape)
+
+
+def _bqg_feats_bwd(radius, nsample, res, cot):
+    idx, xyz_shape, feat_shape = res
+    _, g, gf = cot
+    B, S, K = idx.shape
+    flat_idx = idx.reshape(B, S * K)
+    # grouped_xyz = xyz[idx] - new_xyz, grouped_feats = features[idx]
+    dxyz = jnp.zeros(xyz_shape, g.dtype)
+    dxyz = jax.vmap(lambda z, i, v: z.at[i].add(v))(
+        dxyz, flat_idx, g.reshape(B, S * K, 3))
+    dnew = -jnp.sum(g, axis=2)
+    dfeat = jnp.zeros(feat_shape, gf.dtype)
+    dfeat = jax.vmap(lambda z, i, v: z.at[i].add(v))(
+        dfeat, flat_idx, gf.reshape(B, S * K, feat_shape[-1]))
+    return dxyz, dnew, dfeat
+
+
+ball_query_group_feats.defvjp(_bqg_feats_fwd, _bqg_feats_bwd)

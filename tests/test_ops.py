@@ -261,6 +261,63 @@ class TestBallQuery:
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gu),
                                    rtol=1e-5, atol=1e-6)
 
+    def test_fused_group_feats_matches_composition(self, rng):
+        # ball_query_group_feats == ball_query + group_points, BITWISE, on
+        # both code paths (small fallback and Pallas), for f32 and bf16
+        # features, 128-aligned and unaligned channel counts, and off-cloud
+        # (zero-hit) centers — the one-hot MXU deposit is exact by
+        # construction (value * 1 accumulated with zeros)
+        for n, s, k, cf, dt in ((800, 64, 16, 7, jnp.float32),
+                                (2000, 256, 16, 128, jnp.float32),
+                                (2048, 256, 32, 130, jnp.float32),
+                                (2000, 256, 8, 64, jnp.bfloat16)):
+            xyz = rng.uniform(size=(2, n, 3)).astype(np.float32) * 3
+            ctr = xyz[:, :: n // s][:, :s].copy()
+            ctr[:, ::5] += 50.0  # every 5th center off-cloud
+            feats = jnp.asarray(
+                rng.standard_normal((2, n, cf)).astype(np.float32)).astype(dt)
+            idx, grouped, gfeat = ops.ball_query_group_feats(
+                0.4, k, jnp.asarray(xyz), jnp.asarray(ctr), feats)
+            want_idx = np.asarray(ops.ball_query(0.4, k, jnp.asarray(xyz),
+                                                 jnp.asarray(ctr)))
+            np.testing.assert_array_equal(np.asarray(idx), want_idx)
+            np.testing.assert_array_equal(
+                np.asarray(gfeat),
+                np.asarray(ops.group_points(feats, jnp.asarray(want_idx))))
+            want = np.stack([xyz[b][want_idx[b]] for b in range(2)])
+            want = want - ctr[:, :, None, :]
+            np.testing.assert_allclose(np.asarray(grouped), want,
+                                       rtol=1e-6, atol=1e-6)
+
+    def test_fused_group_feats_vjp(self, rng):
+        # custom VJP == autodiff of the unfused composition for all three
+        # inputs, including off-cloud rows (feature cotangent -> features[0])
+        for n, s in ((300, 30), (2000, 256)):  # small + Pallas paths
+            xyz = jnp.asarray(rng.uniform(size=(1, n, 3)).astype(np.float32)
+                              * 3)
+            ctr_np = np.asarray(xyz)[:, :: n // s][:, :s].copy()
+            ctr_np[:, ::4] += 50.0
+            ctr = jnp.asarray(ctr_np)
+            feats = jnp.asarray(
+                rng.standard_normal((1, n, 32)).astype(np.float32))
+
+            def fused(x, c, ft):
+                _, g, gf = ops.ball_query_group_feats(0.4, 8, x, c, ft)
+                return jnp.sum(jnp.sin(g) * 2.0) + jnp.sum(jnp.cos(gf) * 0.5)
+
+            def unfused(x, c, ft):
+                idx = ops.ball_query(0.4, 8, x, c)
+                g = ops.group_points(x, idx) - c[:, :, None, :]
+                gf = ops.group_points(ft, idx)
+                return jnp.sum(jnp.sin(g) * 2.0) + jnp.sum(jnp.cos(gf) * 0.5)
+
+            ga = jax.jit(jax.grad(fused, argnums=(0, 1, 2)))(xyz, ctr, feats)
+            gb = jax.jit(jax.grad(unfused, argnums=(0, 1, 2)))(xyz, ctr,
+                                                               feats)
+            for a, b in zip(ga, gb):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6)
+
 
 class TestInterpolate:
     def test_three_nn(self, rng):
