@@ -56,8 +56,12 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     autodiff derives the deterministic XLA scatter-add backward (see module
     docstring for the measured A/B that keeps it this way).
     """
+    # callers pass kernel-produced indices (fps / ball_query / three_nn
+    # outputs), always < N: promise_in_bounds drops the NaN-fill select +
+    # predicate broadcast XLA otherwise fuses around every gather (and the
+    # bounds checks from its scatter-add VJP)
     return jnp.take_along_axis(points, idx.astype(jnp.int32)[..., None],
-                               axis=1)
+                               axis=1, mode="promise_in_bounds")
 
 
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
