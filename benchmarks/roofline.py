@@ -69,17 +69,19 @@ def main():
     # donate=False: we keep reusing `state` as the compiled example input
     step = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags)
 
+    # hardware PRNG like bench.py / the CLIs (OMNI_PQ_THREEFRY=1 opts out;
+    # fused threefry mask generation measured ~23 ms/step, TUNING.md)
+    if os.environ.get("OMNI_PQ_THREEFRY") == "1":
+        key0 = jax.random.PRNGKey(1)
+    else:
+        key0 = jax.random.key(1, impl="rbg")
     t0 = time.time()
-    lowered = step.lower(state, labeled, weak, jax.random.PRNGKey(1),
-                         jnp.float32(0.05))
+    lowered = step.lower(state, labeled, weak, key0, jnp.float32(0.05))
     compiled = lowered.compile()
     log("compile: %.1fs" % (time.time() - t0))
-    ca = compiled.cost_analysis()
-    flops = float(ca.get("flops", 0.0))
-    bytes_acc = float(ca.get("bytes accessed", 0.0))
 
     # steady-state timing, chained through state, one fetch at the end
-    key = jax.random.PRNGKey(0)
+    key = key0
     new_state, stats = compiled(state, labeled, weak, key, jnp.float32(0.05))
     _ = np.asarray(stats["total_loss"])
     iters = 20 if on_tpu else 2
@@ -93,6 +95,14 @@ def main():
         _ = np.asarray(stats["total_loss"])
         best = min(best, (time.time() - t0) / iters)
     dt = best
+    log("steady state: %.1f ms/step; querying the HLO cost model "
+        "(can take minutes on this ~30 MB module)" % (dt * 1e3))
+
+    t0 = time.time()
+    ca = compiled.cost_analysis()
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    log("cost model: %.1fs" % (time.time() - t0))
 
     tflops = flops / dt / 1e12
     gbs = bytes_acc / dt / 1e9
