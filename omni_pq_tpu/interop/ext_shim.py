@@ -76,10 +76,13 @@ def _make_ext_module():
 
     def group_points(points, idx):
         # group_points_gpu.cu:13-43: out[b,c,j,k] = points[b,c,idx[b,j,k]]
+        # .clone(): reshape-of-gather is a VIEW, and the reference's
+        # QueryAndGroup modifies the custom Function's output in place
+        # (pointnet2_utils.py:350), which autograd forbids on view outputs
         B, C, _ = points.shape
         _, S, K = idx.shape
         ix = idx.long().reshape(B, 1, S * K).expand(B, C, S * K)
-        return torch.gather(points, 2, ix).reshape(B, C, S, K).contiguous()
+        return torch.gather(points, 2, ix).reshape(B, C, S, K).clone()
 
     def three_interpolate(points, idx, weight):
         # interpolate_gpu.cu:77-117: out[b,c,j] = sum_i w_i * points[b,c,idx_i]
@@ -89,10 +92,28 @@ def _make_ext_module():
         g = torch.gather(points, 2, ix).reshape(B, C, n, 3)
         return (g * weight.unsqueeze(1)).sum(-1).contiguous()
 
-    def _no_grad(*a, **k):
-        raise NotImplementedError(
-            "ext_shim implements forward ops only (parity tests run under "
-            "no_grad); use the flax model for training")
+    def gather_points_grad(grad_out, idx, n):
+        # sampling_gpu.cu:37-62: scatter-add grad rows back to the points
+        B, C, S = grad_out.shape
+        ix = idx.long().unsqueeze(1).expand(B, C, S)
+        out = torch.zeros((B, C, n), dtype=grad_out.dtype)
+        return out.scatter_add_(2, ix, grad_out.contiguous())
+
+    def group_points_grad(grad_out, idx, n):
+        # group_points_gpu.cu:45-80
+        B, C, S, K = grad_out.shape
+        ix = idx.long().reshape(B, 1, S * K).expand(B, C, S * K)
+        out = torch.zeros((B, C, n), dtype=grad_out.dtype)
+        return out.scatter_add_(2, ix, grad_out.reshape(B, C, S * K))
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        # interpolate_gpu.cu:119-159
+        B, C, n = grad_out.shape
+        ix = idx.long().reshape(B, 1, n * 3).expand(B, C, n * 3)
+        contrib = (grad_out.unsqueeze(-1)
+                   * weight.unsqueeze(1)).reshape(B, C, n * 3)
+        out = torch.zeros((B, C, m), dtype=grad_out.dtype)
+        return out.scatter_add_(2, ix, contrib)
 
     mod.furthest_point_sampling = furthest_point_sampling
     mod.ball_query = ball_query
@@ -100,9 +121,9 @@ def _make_ext_module():
     mod.gather_points = gather_points
     mod.group_points = group_points
     mod.three_interpolate = three_interpolate
-    mod.gather_points_grad = _no_grad
-    mod.group_points_grad = _no_grad
-    mod.three_interpolate_grad = _no_grad
+    mod.gather_points_grad = gather_points_grad
+    mod.group_points_grad = group_points_grad
+    mod.three_interpolate_grad = three_interpolate_grad
     return mod
 
 

@@ -39,13 +39,27 @@ def three_nn(unknown, known):
     d2 = jnp.maximum(d2, 0.0)
     m = d2.shape[-1]
     cols = jnp.arange(m, dtype=jnp.int32)
-    dists, idxs = [], []
+    idxs = []
     for _ in range(3):
         i = jnp.argmin(d2, axis=-1).astype(jnp.int32)
-        dists.append(jnp.min(d2, axis=-1))
         idxs.append(i)
         d2 = jnp.where(cols[None, None, :] == i[..., None], jnp.inf, d2)
-    return jnp.stack(dists, axis=-1), jnp.stack(idxs, axis=-1)
+    idx = jnp.stack(idxs, axis=-1)  # (B, n, 3)
+    # Recompute the 3 selected distances DIRECTLY (the reference CUDA
+    # semantics, interpolate_gpu.cu:13-52): the MXU form's cancellation
+    # noise lands exactly where the FP layers are most sensitive — an
+    # unknown point that coincides with a known point (every FPS-selected
+    # seed!) must get d2 == 0.0, or the 1/(d+1e-8) interpolation weighting
+    # amplifies the ~1e-6 residue into ~1e-3 feature deviations (measured
+    # via float64 cross-execution against the reference network,
+    # tests/test_torch_parity.py). Selection order still follows the MXU
+    # distances (near-tie flips documented in PARITY.md); the gather is 3
+    # rows/query — negligible next to the (n, m) distance matrix.
+    B, n, _ = unknown.shape
+    sel = jnp.take_along_axis(known, idx.reshape(B, n * 3)[..., None],
+                              axis=1, mode="promise_in_bounds")
+    diff = sel.reshape(B, n, 3, 3) - unknown[:, :, None, :]
+    return jnp.sum(diff * diff, axis=-1), idx
 
 
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
