@@ -8,9 +8,11 @@ import numpy as np
 
 def _nms(mins, maxs, score, overlap_threshold, old_type, cls=None):
     """Alive-mask formulation of the reference's delete-loop (utils/nms.py):
-    identical greedy pick sequence (descending score, stable-sort tie order),
-    but suppression flips a boolean instead of reallocating the index array
-    (np.delete per pick measured ~10x slower at 256 proposals)."""
+    identical greedy pick sequence — both sides call the same default
+    np.argsort(score) (the reference picks I[-1] repeatedly, this picks the
+    reversed order front-to-back), so ties resolve identically whatever the
+    sort kind — but suppression flips a boolean instead of reallocating the
+    index array (np.delete per pick measured ~10x slower at 256 proposals)."""
     n = score.shape[0]
     area = np.prod(maxs - mins, axis=1)
     # == picking order[-1] of an ascending stable argsort repeatedly

@@ -36,12 +36,19 @@ def ball_query_oracle(radius, nsample, xyz, new_xyz):
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def ball_query_group_oracle(radius, nsample, xyz, new_xyz):
     """QueryAndGroup composition (pointnet2_utils.py:294-352) via the oracle:
-    returns (idx, xyz[idx] - center). Unlike the fused kernel, a no-hit
-    center yields xyz[0] - center — the reference CUDA padding semantics."""
-    xyz = xyz.astype(jnp.float32)
-    new_xyz = new_xyz.astype(jnp.float32)
-    idx = ball_query_ref(radius, nsample, jax.lax.stop_gradient(xyz),
-                         jax.lax.stop_gradient(new_xyz))
+    returns (idx, xyz[idx] - center), with the reference CUDA padding
+    semantics for a no-hit center (all slots point at xyz[0], so the grouped
+    value is xyz[0] - center) — the same semantics the fused Pallas
+    ball_query_group now implements (ops/ball_query.py).
+
+    Index DECISIONS are made on f32 copies of the coordinates so they stay
+    bitwise-shared with the torch-side ext_shim under any precision; the
+    grouped VALUES keep the caller's dtype (a no-op for f32 inputs, and
+    required so a float64 cross-execution run is not silently capped at
+    single precision)."""
+    idx = ball_query_ref(radius, nsample,
+                         jax.lax.stop_gradient(xyz.astype(jnp.float32)),
+                         jax.lax.stop_gradient(new_xyz.astype(jnp.float32)))
     B, S, K = idx.shape
     flat = jnp.take_along_axis(xyz, idx.reshape(B, S * K)[..., None], axis=1)
     grouped = flat.reshape(B, S, K, 3) - new_xyz[:, :, None, :]

@@ -13,17 +13,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .pointnet2 import BN_MOMENTUM, BN_EPS
+from .pointnet2 import BN_MOMENTUM, BN_EPS, acc_dtype
 
 
 def _trunk(net, hidden_dim, train, dtype="float32"):
+    acc = acc_dtype(dtype)
     net = nn.Dense(hidden_dim, dtype=dtype, name="conv1")(net)
     net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                       epsilon=BN_EPS, dtype=jnp.float32, name="bn1")(net)
+                       epsilon=BN_EPS, dtype=acc, name="bn1")(net)
     net = nn.relu(net)
     net = nn.Dense(hidden_dim, dtype=dtype, name="conv2")(net)
     net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                       epsilon=BN_EPS, dtype=jnp.float32, name="bn2")(net)
+                       epsilon=BN_EPS, dtype=acc, name="bn2")(net)
     return nn.relu(net)
 
 

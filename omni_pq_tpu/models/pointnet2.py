@@ -29,6 +29,16 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+def acc_dtype(dtype):
+    """Accumulator dtype for BN / softmax / residual paths that must not run
+    in reduced precision: float32 under the bf16/f32 compute design points
+    (identical numerics to the former hard jnp.float32 pins), promoted to
+    float64 under a `compute_dtype="float64"` numerics-validation run — a
+    hard f32 pin would silently cap a double-precision backward-parity check
+    at single precision."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def _mlp_pool(mdl: "SAModuleVotes", grouped, train):
     """SharedMLP + nsample max-pool, split out so SAModuleVotes can remat it.
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .pointnet2 import BN_MOMENTUM, BN_EPS
+from .pointnet2 import BN_MOMENTUM, BN_EPS, acc_dtype
 
 
 class VotingModule(nn.Module):
@@ -26,16 +26,17 @@ class VotingModule(nn.Module):
     def __call__(self, seed_xyz, seed_features, train: bool = False):
         """seed_xyz (B,S,3), seed_features (B,S,C) -> vote_xyz, vote_features."""
         d = self.seed_feature_dim
+        acc = acc_dtype(self.dtype)
         net = nn.Dense(d, dtype=self.dtype, name="conv1")(seed_features)
         net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=BN_EPS, dtype=jnp.float32, name="bn1")(net)
+                           epsilon=BN_EPS, dtype=acc, name="bn1")(net)
         net = nn.relu(net)
         net = nn.Dense(d, dtype=self.dtype, name="conv2")(net)
         net = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=BN_EPS, dtype=jnp.float32, name="bn2")(net)
+                           epsilon=BN_EPS, dtype=acc, name="bn2")(net)
         net = nn.relu(net)
         net = nn.Dense(3 + d, dtype=self.dtype, name="conv3")(net)
-        net = net.astype(jnp.float32)
+        net = net.astype(acc)
         vote_xyz = seed_xyz + net[..., 0:3]
         vote_features = seed_features + net[..., 3:]
         return vote_xyz, vote_features
@@ -51,14 +52,15 @@ class PointsObjClsModule(nn.Module):
     def __call__(self, seed_features, train: bool = False):
         """(B, S, C) -> (B, S, 1) logits."""
         d = self.seed_feature_dim
+        acc = acc_dtype(self.dtype)
         net = nn.Dense(d, dtype=self.dtype, name="conv1")(seed_features)
         net = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                   dtype=jnp.float32, name="bn1")(net))
+                                   dtype=acc, name="bn1")(net))
         net = nn.Dense(d, dtype=self.dtype, name="conv2")(net)
         net = nn.relu(nn.BatchNorm(use_running_average=not train,
                                    momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                                   dtype=jnp.float32, name="bn2")(net))
+                                   dtype=acc, name="bn2")(net))
         return nn.Dense(1, name="conv3")(net)
 
 
@@ -109,14 +111,15 @@ class MultiHeadAttention(nn.Module):
         qp = nn.Dense(D, dtype=self.dtype, name="q_proj")(q).reshape(*q.shape[:2], H, hd)
         kp = nn.Dense(D, dtype=self.dtype, name="k_proj")(k).reshape(*k.shape[:2], H, hd)
         vp = nn.Dense(D, dtype=self.dtype, name="v_proj")(v).reshape(*v.shape[:2], H, hd)
+        acc = acc_dtype(self.dtype)
         logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(hd)
-        weights = nn.softmax(logits.astype(jnp.float32), axis=-1)
+                            preferred_element_type=acc) / jnp.sqrt(hd)
+        weights = nn.softmax(logits.astype(acc), axis=-1)
         weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(vp.dtype), vp)
-        out = out.astype(jnp.float32).reshape(*q.shape[:2], D)
+        out = out.astype(acc).reshape(*q.shape[:2], D)
         if self.attention_type == "self":
-            out = q.astype(jnp.float32) - out
+            out = q.astype(acc) - out
         return nn.Dense(D, name="out_proj")(out)
 
 
@@ -139,23 +142,29 @@ class TransformerDecoderLayer(nn.Module):
         k_embed = PositionEmbeddingLearned(self.d_model, name="cross_posembed")(
             key_pos, train=train)
 
+        # torch nn.LayerNorm default eps is 1e-5 (the reference decoder uses
+        # the default, transformer.py:173-175); flax's default is 1e-6.
+        # Caught by float64 cross-execution: the eps mismatch put a
+        # deterministic ~1e-6 step into every decoder layer's outputs.
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name)
+
         qkv = query + q_embed
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                   dtype=self.dtype,
                                   name="self_attn")(qkv, qkv, qkv, train=train)
-        query = nn.LayerNorm(name="norm1")(query + drop("dropout1")(attn))
+        query = ln("norm1")(query + drop("dropout1")(attn))
 
         kv = key + k_embed
         attn = MultiHeadAttention(self.d_model, self.nhead, self.dropout,
                                   dtype=self.dtype,
                                   name="multihead_attn")(
             query + q_embed, kv, kv, train=train)
-        query = nn.LayerNorm(name="norm2")(query + drop("dropout2")(attn))
+        query = ln("norm2")(query + drop("dropout2")(attn))
 
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype,
                       name="linear1")(query)
         ff = drop("dropout")(nn.relu(ff))
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
-        ff = ff.astype(jnp.float32)
-        query = nn.LayerNorm(name="norm3")(query + drop("dropout3")(ff))
+        ff = ff.astype(acc_dtype(self.dtype))
+        query = ln("norm3")(query + drop("dropout3")(ff))
         return query

@@ -65,6 +65,13 @@ def three_nn(unknown, known):
 def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """points (B, N, C), idx (B, S) -> (B, S, C).
 
+    CONTRACT: every index must be in [0, N) — indices are gathered with
+    mode='promise_in_bounds', so an out-of-range index (e.g. -1 padding)
+    reads unspecified memory instead of clamping. All in-tree callers pass
+    kernel-produced indices (fps / ball_query / three_nn outputs), which
+    are in-bounds by construction; validate before calling with anything
+    else.
+
     Channel-last equivalent of the reference's gather_points
     (sampling_gpu.cu:13-62, which is (B, C, N) x (B, C, S) -> (B, C, S));
     autodiff derives the deterministic XLA scatter-add backward (see module

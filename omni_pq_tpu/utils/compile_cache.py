@@ -21,18 +21,47 @@ full tracebacks (richer XLA error locations, fragmented cache).
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import platform
+
+
+def _host_fingerprint() -> str:
+    """Short tag identifying the host ISA feature set and jax version.
+
+    XLA:CPU cache entries embed AOT-compiled machine code targeted at the
+    compiling host's CPU features; a disk image moved to a different machine
+    type then serves executables the new host can't run (cpu_aot_loader.cc
+    'Machine type used for XLA:CPU compilation doesn't match ... could lead
+    to SIGILL' — observed across round boxes with a shared 1.3 GB cache).
+    Partitioning the cache directory by this fingerprint makes a foreign
+    host start cold instead of loading foreign code."""
+    import jax
+    feats = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats += " " + " ".join(sorted(line.split(":", 1)[1]
+                                                   .split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.sha256(f"{jax.__version__}|{feats}".encode()).hexdigest()[:12]
+    return f"host-{h}"
 
 
 def enable(cache_dir: str | None = None) -> None:
     import jax
     try:
         # repo-anchored default so the cache is shared regardless of the
-        # launch directory (a cwd-anchored default fragments per entry point)
+        # launch directory (a cwd-anchored default fragments per entry point);
+        # host-fingerprint subdir so entries never cross machine types
         repo = os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
         d = cache_dir or os.environ.get(
             "OMNI_PQ_COMPILE_CACHE", os.path.join(repo, ".jax_cache"))
+        d = os.path.join(d, _host_fingerprint())
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", os.path.abspath(d))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

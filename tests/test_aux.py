@@ -249,8 +249,11 @@ class TestCompileCache:
             compile_cache.enable(str(tmp_path / "cache"))
             assert _jax.config.jax_include_full_tracebacks_in_locations \
                 is False
-            assert _jax.config.jax_compilation_cache_dir == \
-                str(tmp_path / "cache")
+            # round-5: cache dir is partitioned by a host-ISA fingerprint so
+            # a disk image moved across machine types never serves foreign
+            # XLA:CPU AOT executables (SIGILL hazard)
+            assert _jax.config.jax_compilation_cache_dir == str(
+                tmp_path / "cache" / compile_cache._host_fingerprint())
         finally:
             _jax.config.update("jax_compilation_cache_dir", prev_dir)
             _jax.config.update("jax_include_full_tracebacks_in_locations",
