@@ -47,11 +47,16 @@ def main():
     #   OMNI_PQ_F32=1   -> full float32 compute (the --f32 CLI mode)
     #   OMNI_PQ_REMAT=1 -> remat the SA-layer MLPs (bytes-for-FLOPs trade)
     import os
+    #   OMNI_PQ_FUSE=1  -> fused SA-MLP Pallas kernel for the STUDENT
+    #                      fwd+bwd too (measured slower: the backward remat
+    #                      re-pays the forward's byte savings, TUNING.md)
     cfg = ModelConfig(
         compute_dtype=("float32" if os.environ.get("OMNI_PQ_F32") == "1"
                        else "bfloat16"),
-        remat_sa=os.environ.get("OMNI_PQ_REMAT") == "1")
-    log("compute_dtype:", cfg.compute_dtype, "remat_sa:", cfg.remat_sa)
+        remat_sa=os.environ.get("OMNI_PQ_REMAT") == "1",
+        fused_sa=os.environ.get("OMNI_PQ_FUSE") == "1")
+    log("compute_dtype:", cfg.compute_dtype, "remat_sa:", cfg.remat_sa,
+        "fused_sa:", cfg.fused_sa)
     B = 3  # labeled scenes (reference train.sh batch_size)
     N = cfg.num_points
     model = PQTransformer(cfg)

@@ -124,6 +124,14 @@ def build_parser(is_eval: bool = False) -> argparse.ArgumentParser:
                         help='run the EMA-teacher forward in bfloat16 '
                              '(soft consistency targets only; the student '
                              'and all losses stay float32)')
+    parser.add_argument('--eval_quad_topk', type=int, default=0,
+                        help='device-side confidence packing for eval: '
+                             'fetch only the K most confident quad '
+                             'proposals per scene (sorted desc). Lossless '
+                             'for quad-F1 whenever the per-scene count '
+                             'above the 0.5 gate fits in K (the driver '
+                             'warns when the sorted tail still clears the '
+                             'gate); 0 = fetch all proposals')
     return parser
 
 

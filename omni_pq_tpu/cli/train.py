@@ -114,7 +114,14 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
     # 11.5 s/batch through the remote-TPU transport, TUNING.md)
     from .. import losses as _losses
     mean_sizes = np.asarray(dataset_config.mean_size_arr, np.float32)
-    decode_step = make_eval_decode_step(model, mean_sizes)
+    # --faster_eval is the reference eval.py's quad-only mode: skip the
+    # object packing (97 of 107 floats/proposal) at the source, not just
+    # the metric computation — unless the dump path needs the boxes
+    include_obj = (not args.faster_eval) or bool(args.dump_result)
+    decode_step = make_eval_decode_step(
+        model, mean_sizes,
+        quad_topk=int(getattr(args, "eval_quad_topk", 0) or 0),
+        include_obj=include_obj)
     eval_step = None  # full forward, built lazily (multiproc / dump paths)
     loss_stats_fn = jax.jit(lambda d: jax.tree.map(
         lambda x: x, _losses.get_loss(
@@ -170,7 +177,8 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
             obj, quad, vec = decode_step(
                 state, jnp.asarray(batch["point_clouds"]), labels,
                 use_ema=use_ema, with_loss=with_loss)
-            ep = _unpack(np.asarray(obj), np.asarray(quad))
+            ep = _unpack(None if obj is None else np.asarray(obj),
+                         np.asarray(quad))
             if vec is not None:
                 for k, v in zip(decode_step.stat_names, np.asarray(vec)):
                     loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
@@ -194,7 +202,8 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
             from ..utils.viz import dump_quad_results, dump_object_results
             dump_dir = os.path.join(args.log_dir, "dump")
             dump_quad_results(ep, dump_dir)
-            dump_object_results(ep, dataset_config, dump_dir)
+            if "last_objectness_scores" in ep:
+                dump_object_results(ep, dataset_config, dump_dir)
 
     f1 = quad_calc.compute_F1(calculated=True)
     tag = "ema" if use_ema else "student"

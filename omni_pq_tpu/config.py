@@ -110,6 +110,20 @@ class ModelConfig:
     # trade on a step that rides the HBM roofline (benchmarks/ROOFLINE.md).
     # Numerics are unchanged (same forward values, same gradients).
     remat_sa: bool = False
+    # fuse each SA layer's Dense->BN->ReLU chain + nsample max-pool into one
+    # multi-phase Pallas kernel (ops/fused_mlp.py): the (B, S, K, C)
+    # activations never reach HBM in the forward (the backward is a remat
+    # through the plain chain, so gradients are bit-identical to the
+    # unfused path given the same cotangents). Layers whose nsample/channel
+    # widths miss the TPU tiling gate — and float64 validation runs — fall
+    # back to SharedMLP automatically (ops/fused_mlp.supports).
+    # Default OFF for training: measured on v5e (round 5, same box,
+    # benchmarks/TUNING.md) the full train step REGRESSED 94.4 -> 110.9
+    # ms/step — the backward remat re-materializes exactly the bytes the
+    # forward saved, and the multi-phase recompute is pure overhead on top.
+    # Grad-free forwards (EMA teacher, eval) use the fused path where it
+    # measures faster (see make_train_step / make_eval_* wiring).
+    fused_sa: bool = False
     # Deviation from the reference (documented): QuadPredictHead normalizes
     # predicted normals per-vector. The reference divides by the *global*
     # tensor norm (models/pq_transformer.py:112-113) — per-vector is the

@@ -35,6 +35,11 @@ class Pointnet2Backbone(nn.Module):
     npoints: tuple = (2048, 1024, 512, 256)
     nsamples: tuple = (64, 32, 16, 16)
     radii: tuple = (0.2, 0.4, 0.8, 1.2)
+    # route every SA layer's MLP+max-pool through the fused Pallas kernel
+    # (ops/fused_mlp.py) — the (B, S, K, C) activation chain never reaches
+    # HBM; per-layer shapes that miss the kernel's tiling gate fall back to
+    # SharedMLP (see SAModuleVotes.fused)
+    fused: bool = False
 
     @nn.compact
     def __call__(self, pointcloud: jnp.ndarray, train: bool = False):
@@ -48,22 +53,26 @@ class Pointnet2Backbone(nn.Module):
                             nsample=self.nsamples[0],
                             mlp_channels=[64 * w] * d + [128 * w],
                             normalize_xyz=True, dtype=self.dtype,
-                            remat=self.remat, name="sa1")
+                            remat=self.remat, fused=self.fused,
+                            name="sa1")
         sa2 = SAModuleVotes(npoint=self.npoints[1], radius=self.radii[1],
                             nsample=self.nsamples[1],
                             mlp_channels=[128 * w] * d + [256 * w],
                             normalize_xyz=True, dtype=self.dtype,
-                            remat=self.remat, name="sa2")
+                            remat=self.remat, fused=self.fused,
+                            name="sa2")
         sa3 = SAModuleVotes(npoint=self.npoints[2], radius=self.radii[2],
                             nsample=self.nsamples[2],
                             mlp_channels=[128 * w] * d + [256 * w],
                             normalize_xyz=True, dtype=self.dtype,
-                            remat=self.remat, name="sa3")
+                            remat=self.remat, fused=self.fused,
+                            name="sa3")
         sa4 = SAModuleVotes(npoint=self.npoints[3], radius=self.radii[3],
                             nsample=self.nsamples[3],
                             mlp_channels=[128 * w] * d + [256 * w],
                             normalize_xyz=True, dtype=self.dtype,
-                            remat=self.remat, name="sa4")
+                            remat=self.remat, fused=self.fused,
+                            name="sa4")
         fp1 = FPModule(mlp_channels=[256 * w, 256 * w], dtype=self.dtype, name="fp1")
         fp2 = FPModule(mlp_channels=[256 * w, self.out_dim], dtype=self.dtype, name="fp2")
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import (fps, ball_query, ball_query_group, gather_points,
                    group_points, interpolate_features)
+from ..ops import fused_mlp
 
 # torch BN defaults: eps 1e-5; the model sets momentum=0.1 (torch convention:
 # new = 0.9*old + 0.1*batch) == flax momentum 0.9
@@ -83,6 +84,77 @@ class SharedMLP(nn.Module):
         return x
 
 
+class _DenseParam(nn.Module):
+    """Declares a Dense kernel under the same scope path as nn.Dense would
+    (`<parent>/layer{i}/kernel`) without instantiating the layer -- the
+    fused SA-MLP kernel consumes the raw array. Init matches nn.Dense's
+    default (lecun_normal), so fresh-training initializations are
+    distributionally identical to the unfused path."""
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (in_features, self.features), jnp.float32)
+
+
+class _BNParam(nn.Module):
+    """Declares BatchNorm scale/bias params and running-stat variables with
+    nn.BatchNorm's names ('scale'/'bias' in params, 'mean'/'var' in
+    batch_stats) so the fused and unfused trees are interchangeable."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((self.features,),
+                                                  jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((self.features,),
+                                                jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
+class FusedMLPPool(nn.Module):
+    """SharedMLP + nsample max-pool via the fused Pallas kernel
+    (ops/fused_mlp.py): no (B, S, K, C) intermediate ever reaches HBM.
+
+    Drop-in for `SharedMLP(...)(x) |> max(axis=2)` with a bit-compatible
+    param/batch_stats tree (same `layer{i}`/`bn{i}` child names), the same
+    running-stat update rule as nn.BatchNorm (momentum convention
+    new = m*old + (1-m)*batch), and gradients defined by the plain jnp
+    recompute inside the custom VJP — bitwise the flax chain's forward,
+    reassociation-ulp-equal gradients (tests/test_fused_mlp.py)."""
+    channels: Sequence[int]
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, grouped, train: bool = False):
+        cin = grouped.shape[-1]
+        kernels, scales, biases, ras = [], [], [], []
+        for i, c in enumerate(self.channels):
+            kernels.append(_DenseParam(c, name=f"layer{i}")(cin))
+            cin = c
+            s, b, rm, rv = _BNParam(c, name=f"bn{i}")()
+            scales.append(s)
+            biases.append(b)
+            ras.append((rm, rv))
+        pooled, means, variances = fused_mlp.fused_mlp_pool(
+            grouped, kernels, scales, biases,
+            ra_means=tuple(rm.value for rm, _ in ras),
+            ra_vars=tuple(rv.value for _, rv in ras),
+            train=train, eps=BN_EPS, dtype=jnp.dtype(self.dtype))
+        if train and not self.is_initializing():
+            for (rm, rv), mu, var in zip(ras, means, variances):
+                rm.value = BN_MOMENTUM * rm.value + (1 - BN_MOMENTUM) * mu
+                rv.value = BN_MOMENTUM * rv.value + (1 - BN_MOMENTUM) * var
+        return pooled
+
+
 class SAModuleVotes(nn.Module):
     """Set abstraction: FPS -> ball query -> group -> SharedMLP -> max-pool.
 
@@ -98,6 +170,10 @@ class SAModuleVotes(nn.Module):
     use_xyz: bool = True
     dtype: str = "float32"
     remat: bool = False
+    # route the MLP+pool through the fused Pallas kernel (ops/fused_mlp.py)
+    # when the shapes meet its tiling constraints; falls back to SharedMLP
+    # otherwise (float64 validation runs, odd channel widths)
+    fused: bool = False
 
     @nn.compact
     def __call__(self, xyz, features: Optional[jnp.ndarray] = None,
@@ -124,6 +200,14 @@ class SAModuleVotes(nn.Module):
                 grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
         else:
             grouped = grouped_xyz
+        if self.fused and fused_mlp.supports(self.nsample,
+                                             self.mlp_channels, self.dtype):
+            # same "mlp" scope name -> param/batch_stats trees identical to
+            # the SharedMLP path; remat is moot here (the kernel saves no
+            # (B, S, K, C) intermediates to begin with)
+            pooled = FusedMLPPool(self.mlp_channels, dtype=self.dtype,
+                                  name="mlp")(grouped, train=train)
+            return new_xyz, pooled, inds
         pool = (nn.remat(_mlp_pool, static_argnums=(2,)) if self.remat
                 else _mlp_pool)
         return new_xyz, pool(self, grouped, train), inds

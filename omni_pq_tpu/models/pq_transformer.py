@@ -42,7 +42,8 @@ class PQTransformer(nn.Module):
         end_points = Pointnet2Backbone(
             input_feature_dim=cfg.input_feature_dim, width=cfg.backbone_width,
             depth=cfg.backbone_depth, out_dim=hd, dtype=dt,
-            remat=cfg.remat_sa, npoints=cfg.backbone_npoints,
+            remat=cfg.remat_sa, fused=cfg.fused_sa,
+            npoints=cfg.backbone_npoints,
             nsamples=cfg.backbone_nsamples, radii=cfg.backbone_radii,
             name="backbone")(point_clouds, train=train)
         seed_xyz = end_points["fp2_xyz"]
@@ -65,7 +66,7 @@ class PQTransformer(nn.Module):
             npoint=cfg.num_proposal, radius=0.3,
             nsample=cfg.vote_aggregation_nsample,
             mlp_channels=[hd, hd, hd], normalize_xyz=True, dtype=dt,
-            remat=cfg.remat_sa,
+            remat=cfg.remat_sa, fused=cfg.fused_sa,
             name="vote_aggregation")(vote_xyz, vote_feat, train=train)
         end_points["aggregated_vote_xyz"] = cluster_xyz
         end_points["cluster_feature"] = cluster_feat

@@ -205,37 +205,54 @@ _EVAL_OBJ_KEYS = ("objectness_scores", "center", "heading_scores",
 _EVAL_QUAD_KEYS = ("quad_scores", "quad_center", "normal_vector", "quad_size")
 
 
-def _pack(ep, prefix, keys):
+def _pack(ep, prefix, keys, topk: int = 0):
     planes = []
     for k in keys:
         v = ep[prefix + k]
         planes.append(v.reshape(v.shape[0], v.shape[1], -1)
                       .astype(jnp.float32))
-    return jnp.concatenate(planes, axis=-1)
+    packed = jnp.concatenate(planes, axis=-1)
+    if topk and topk < packed.shape[1]:
+        # device-side confidence packing: keep the topk most confident
+        # proposals (score logits are the first plane of both packings;
+        # prob = softmax(logits)[..., 1], monotone in logit[1]-logit[0]).
+        # Rows come back SORTED by confidence descending, so the host can
+        # verify losslessness per scene: if row topk-1's prob is below its
+        # own gate, no above-gate proposal was dropped (evals/quad.py F1
+        # gates at 0.5, ap_helper_pq.py:447; greedy NMS survivors above
+        # any score are unaffected by removing strictly-lower-score rows).
+        conf = packed[..., 1] - packed[..., 0]
+        _, idx = jax.lax.top_k(conf, topk)
+        packed = jnp.take_along_axis(packed, idx[..., None], axis=1)
+    return packed
 
 
 def unpack_eval_outputs(obj_packed, quad_packed, num_heading_bin: int,
                         num_size_cluster: int, num_class: int,
                         prefix: str = "last_") -> Dict:
     """Host-side inverse of the device packing: two numpy arrays -> the
-    end_points subset the eval decode reads."""
+    end_points subset the eval decode reads. obj_packed may be None
+    (quad-only eval, make_eval_decode_step(include_obj=False)) — the object
+    keys are then simply absent."""
     import numpy as np
 
-    B, K = obj_packed.shape[:2]
-    widths = {"objectness_scores": 2, "center": 3,
-              "heading_scores": num_heading_bin,
-              "heading_residuals": num_heading_bin,
-              "size_scores": num_size_cluster,
-              "size_residuals": num_size_cluster * 3,
-              "sem_cls_scores": num_class}
-    out, off = {}, 0
-    for k in _EVAL_OBJ_KEYS:
-        w = widths[k]
-        v = np.asarray(obj_packed[..., off:off + w])
-        if k == "size_residuals":
-            v = v.reshape(B, K, num_size_cluster, 3)
-        out[prefix + k] = v
-        off += w
+    out = {}
+    if obj_packed is not None:
+        B, K = obj_packed.shape[:2]
+        widths = {"objectness_scores": 2, "center": 3,
+                  "heading_scores": num_heading_bin,
+                  "heading_residuals": num_heading_bin,
+                  "size_scores": num_size_cluster,
+                  "size_residuals": num_size_cluster * 3,
+                  "sem_cls_scores": num_class}
+        off = 0
+        for k in _EVAL_OBJ_KEYS:
+            w = widths[k]
+            v = np.asarray(obj_packed[..., off:off + w])
+            if k == "size_residuals":
+                v = v.reshape(B, K, num_size_cluster, 3)
+            out[prefix + k] = v
+            off += w
     qwidths = {"quad_scores": 2, "quad_center": 3, "normal_vector": 3,
                "quad_size": 2}
     off = 0
@@ -246,7 +263,9 @@ def unpack_eval_outputs(obj_packed, quad_packed, num_heading_bin: int,
     return out
 
 
-def make_eval_decode_step(model, mean_size_arr=None, prefix: str = "last_"):
+def make_eval_decode_step(model, mean_size_arr=None, prefix: str = "last_",
+                          obj_topk: int = 0, quad_topk: int = 0,
+                          include_obj: bool = True):
     """Jitted eval forward returning ONLY what the metric path consumes:
     (obj_packed (B,K,W1), quad_packed (B,Kq,W2)[, loss_stat_names,
     loss_stats_vec]). With `labels` given (and mean_size_arr set), the
@@ -254,7 +273,25 @@ def make_eval_decode_step(model, mean_size_arr=None, prefix: str = "last_"):
     computed on device in the same jit and returned as one stacked vector —
     one extra fetch instead of ~30. The vector's key order is published on
     the returned function as `.stat_names` (filled at trace time, i.e.
-    after the first with_loss call)."""
+    after the first with_loss call).
+
+    obj_topk / quad_topk > 0 enable device-side confidence packing: only
+    the topk most confident proposals (sorted descending) cross the tunnel.
+    Quad-F1 is provably unchanged whenever the per-scene count of proposals
+    above the 0.5 gate fits in quad_topk (check: last kept row's prob <
+    gate — rows are sorted); a trained model keeps a small fraction, so
+    this is lossless there and an explicit accuracy knob for random-init
+    worst cases. Object mAP keeps every NMS survivor above the truncated
+    ranking tail (removing strictly-lower-score rows cannot change higher
+    rows' greedy-NMS fate); it is the standard top-k-detections-per-scene
+    eval convention rather than bitwise AP parity, so it is OFF by
+    default.
+
+    include_obj=False drops the object packing entirely — the reference's
+    standalone eval driver (eval.py) computes QUAD metrics only, and the
+    object planes are 97 of the 107 packed floats per proposal; a quad-only
+    eval that still fetches them pays ~10x the bytes for nothing. The first
+    return value is then None."""
     stat_names: list = []
 
     @functools.partial(jax.jit, static_argnames=("use_ema", "with_loss"))
@@ -264,8 +301,9 @@ def make_eval_decode_step(model, mean_size_arr=None, prefix: str = "last_"):
         batch_stats = (state.ema_batch_stats if use_ema else state.batch_stats)
         ep = model.apply({"params": params, "batch_stats": batch_stats},
                          point_clouds, train=False)
-        obj = _pack(ep, prefix, _EVAL_OBJ_KEYS)
-        quad = _pack(ep, prefix, _EVAL_QUAD_KEYS)
+        obj = (_pack(ep, prefix, _EVAL_OBJ_KEYS, topk=obj_topk)
+               if include_obj else None)
+        quad = _pack(ep, prefix, _EVAL_QUAD_KEYS, topk=quad_topk)
         if not with_loss:
             return obj, quad, None
         merged = dict(ep)

@@ -35,7 +35,16 @@ def _host_fingerprint() -> str:
     'Machine type used for XLA:CPU compilation doesn't match ... could lead
     to SIGILL' — observed across round boxes with a shared 1.3 GB cache).
     Partitioning the cache directory by this fingerprint makes a foreign
-    host start cold instead of loading foreign code."""
+    host start cold instead of loading foreign code.
+
+    Residual cpu_aot_loader warnings on SAME-host loads are a false
+    positive in XLA's comparison: the compile-time feature string embeds
+    XLA's own tuning preferences (+prefer-no-scatter, +prefer-no-gather),
+    which host feature detection never reports, so the lists can never
+    match verbatim. Verified on this box (round 5): every real ISA bit
+    (avx512*, amx-*) matches between the warning's two lists; only the
+    prefer-* pseudo-features differ. Harmless — the loaded code targets
+    this machine."""
     import jax
     feats = platform.machine()
     try:

@@ -81,14 +81,15 @@ def main():
         return {k: np.asarray(v) for k, v in batch.items()
                 if getattr(np.asarray(v).dtype, "kind", "O") in "fiub"}
 
-    def run_batch(batch, with_loss=True):
+    def run_batch(batch, with_loss=True, step=None):
         """One streaming step: dispatch + forward + pack + host fetch."""
-        obj, quad, vec = decode_step(
+        obj, quad, vec = (step or decode_step)(
             state, jnp.asarray(batch["point_clouds"]),
             labels_of(batch) if with_loss else None,
             use_ema=False,
             with_loss=with_loss and all(k in batch for k in _LOSS_KEYS))
-        return (np.asarray(obj), np.asarray(quad),
+        return (None if obj is None else np.asarray(obj),
+                np.asarray(quad),
                 None if vec is None else np.asarray(vec))
 
     t0 = time.time()
@@ -118,6 +119,26 @@ def main():
         log("device %s+fetch: %.1f ms/batch" % (mode, best))
     dev_eval_ms = dev_ms["eval"]
 
+    # quad-only modes (the reference eval.py computes quad metrics only):
+    # include_obj=False drops 97 of 107 packed floats/proposal at the
+    # source; quad_topk=64 additionally keeps only the 64 most confident
+    # quads (lossless for F1 whenever the count above the 0.5 gate fits —
+    # a trained model's case; see make_eval_decode_step)
+    for mode, kw in (("quad_only", dict(include_obj=False)),
+                     ("quad_topk64", dict(include_obj=False, quad_topk=64))):
+        step = make_eval_decode_step(model, mean_sizes, **kw)
+        t0 = time.time()
+        run_batch(batches[0], False, step)
+        log("%s compile: %.1fs" % (mode, time.time() - t0))
+        best = float("inf")
+        for _ in range(3 if on_tpu else 1):
+            t0 = time.time()
+            for b in batches:
+                run_batch(b, False, step)
+            best = min(best, (time.time() - t0) / NB * 1e3)
+        dev_ms[mode] = best
+        log("device %s+fetch: %.1f ms/batch" % (mode, best))
+
     # host decode on the fetched arrays (CPU; vectorized corner/NMS path)
     config_dict = {"remove_empty_box": False, "use_3d_nms": True,
                    "nms_iou": 0.25, "use_old_type_nms": False,
@@ -145,6 +166,20 @@ def main():
                 obj_calc.step(obj_pred, obj_gt)
         dec_ms = min(dec_ms, (time.time() - t0) / NB * 1e3)
     log("host decode: %.1f ms/batch" % dec_ms)
+
+    # quad-only host decode (the reference eval.py's metric set)
+    qdec_ms = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for batch, (obj, quad, vec) in zip(batches, fetched):
+            ep = unpack_eval_outputs(None, quad, cfg.num_heading_bin,
+                                     cfg.num_size_cluster, cfg.num_class)
+            merged = dict(ep)
+            merged.update(batch)
+            parse_quad_predictions(merged, config_dict, "last_")
+            parse_quad_groundtruths(merged, config_dict)
+        qdec_ms = min(qdec_ms, (time.time() - t0) / NB * 1e3)
+    log("host decode (quad only): %.1f ms/batch" % qdec_ms)
 
     # pipelined streaming: dispatch batch i+1 BEFORE fetching + decoding
     # batch i — JAX dispatch is async, so the host decode of batch i can
@@ -203,6 +238,13 @@ def main():
         "decode_ms_per_batch": round(dec_ms, 1),
         "pipelined_ms_per_batch": round(pipe_ms, 1),
         "pipelined_scenes_per_sec": round(B / (pipe_ms / 1e3), 2),
+        "quad_only_ms_per_batch": round(dev_ms["quad_only"], 1),
+        "quad_decode_ms_per_batch": round(qdec_ms, 1),
+        "quad_only_scenes_per_sec": round(
+            B / ((dev_ms["quad_only"] + qdec_ms) / 1e3), 2),
+        "quad_topk64_ms_per_batch": round(dev_ms["quad_topk64"], 1),
+        "quad_topk64_scenes_per_sec": round(
+            B / ((dev_ms["quad_topk64"] + qdec_ms) / 1e3), 2),
         "final_metrics_s": round(final_s, 2),
         "compute_dtype": cfg.compute_dtype,
         "note": "random-init worst case: every proposal survives NMS",

@@ -23,6 +23,15 @@ lambda_metric_* = 5e-4. Rooms are 2.0-2.6 m so the fixed 0.3 m NEAR
 assignment radius (loss_helper_pq.py:17) yields positives at this tiny
 scene count (see scripts/convergence_tpu.py).
 
+Round-5 arms (VERDICT asks #2/#6):
+    gamma_fixed — gamma with the RECOMMENDED fixed criterion
+            (use_fitted_mixture=False, reference fit.py:152-174 semantics)
+    arkit — omni-supervised (README.md:113-116): ARKit-train-shaped weak
+            scenes (object boxes only, quad GT zeroed), EMA + gamma +
+            arkit physical-constraint loss at lambda 1e-3
+Any arm suffixed `_ft` runs the reference fine-tune protocol (supervised
+pretrain -> teacher backfill -> semi phase at full consistency weight).
+
 Run (TPU host):  python scripts/semi_sup_ab.py
 Env: AB_STEPS (6000), AB_EVAL_EVERY (500), AB_SEEDS ("0,1,2"),
      AB_ARMS ("sup,ema,gamma"), AB_OUT (docs/semi_sup_ab.json)
@@ -73,7 +82,27 @@ ARM_FLAGS = {
                       pc_loss=True),
     "gamma": TrainFlags(ema=True, gamma_mixture=True, arkit=False,
                         pc_loss=True, use_fitted_mixture=True),
+    # the criterion RECOMMENDED for parity runs (docs/FITTED_MIXTURE.md):
+    # label with the mixture's INITIAL parameters, the reference's effective
+    # semantics (fit.py:152-174 — labels computed before the EM loop)
+    "gamma_fixed": TrainFlags(ema=True, gamma_mixture=True, arkit=False,
+                              pc_loss=True, use_fitted_mixture=False),
+    # omni-supervised (README.md:113-116): weak scenes are ARKit-train-
+    # shaped (object boxes only — the quad GT of the weak pool is zeroed in
+    # run_arm), EMA + gamma on them, plus the arkit physical-constraint loss
+    # (train.py:536-538 -> arkit_loss_util.py:5-52). The reference CLI
+    # defaults lambda_arkit_pc_loss to 0.0 (train.sh:30) and publishes no
+    # value; 1e-3 keeps the term the same order as the lambda_metric_*
+    # gamma weights and demonstrably engaged (arkit_pc_loss stat).
+    "arkit": TrainFlags(ema=True, gamma_mixture=True, arkit=True,
+                        pc_loss=True, use_fitted_mixture=True,
+                        lambda_arkit_pc_loss=1e-3),
 }
+
+# weak-pool keys that do not exist for ARKit train-split scenes
+# (arkitscenes_dataset.py:42-233 returns object boxes only)
+QUAD_GT_KEYS = ("gt_quad_centers", "gt_quad_sizes", "gt_normal_vectors",
+                "num_gt_quads", "num_total_quads", "horizontal_quads")
 
 # "<arm>_ft" = the reference's ACTUAL protocol (train.sh:14-31): a
 # supervised pretrain, then resume with the semi-supervised machinery on —
@@ -138,6 +167,13 @@ def make_fused_step(inner_step, n_labeled, n_weak, semi):
 def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
     cfg = ModelConfig()
     model = PQTransformer(cfg)
+    finetune_name = arm[:-3] if arm.endswith("_ft") else arm
+    if finetune_name == "arkit":
+        # ARKit train split carries NO quad annotations — zero them so the
+        # weak half is shape-identical to arkitscenes_dataset.py's output
+        # and nothing can leak (no loss reads them today; this pins it)
+        weak_pool = {k: (np.zeros_like(v) if k in QUAD_GT_KEYS else v)
+                     for k, v in weak_pool.items()}
     labeled_pool = {k: jnp.asarray(v) for k, v in labeled_pool.items()}
     weak_pool = {k: jnp.asarray(v) for k, v in weak_pool.items()}
     init_pc = labeled_pool["point_clouds"][:BS]
@@ -169,7 +205,8 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
             consistency_weight(i / ramp_steps, 0.05, 1) if flags.ema else 0.0
             for i in range(STEPS)], dtype=jnp.float32)
     key = jax.random.PRNGKey(1009 * seed
-                             + {"sup": 1, "ema": 2, "gamma": 3}[base_arm]
+                             + {"sup": 1, "ema": 2, "gamma": 3,
+                                "gamma_fixed": 4, "arkit": 5}[base_arm]
                              + (7000 if finetune else 0))
     istep = jnp.int32(0)
     curve = []
@@ -192,6 +229,12 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
             f1 = held_out_f1(ev, state, val_dev, val_np)
             rec = {"step": i + 1, "f1": f1,
                    "loss": float(stats["total_loss"])}
+            if flags.arkit:  # evidence the omni-supervised term is engaged
+                rec["arkit_pc_loss"] = float(stats["arkit_pc_loss"])
+                rec["arkit_collisions"] = float(stats["arkit_collisions"])
+            if flags.gamma_mixture and "gamma_engaged_frac" in stats:
+                rec["gamma_engaged_frac"] = float(
+                    stats["gamma_engaged_frac"])
             in_semi = flags.ema and not (finetune and i < PRETRAIN)
             if in_semi:
                 rec["f1_ema"] = held_out_f1(ev, state, val_dev, val_np,
