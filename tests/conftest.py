@@ -9,8 +9,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# On a 1-core host the 8 virtual devices execute serially, so an all-reduce
+# rendezvous legitimately waits minutes at full 40k-point shapes
+# (test_full_shape_dryrun) — far past XLA:CPU's default collective terminate
+# timeout, which aborts the process (observed SIGABRT mid-step). Not a hang:
+# raise the terminate bound; keep the 20 s warn for visibility.
+if "collective_call_terminate" not in flags:
+    flags += " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
