@@ -191,6 +191,37 @@ def write_doc(curves, seeds, curve):
                   "extended run's 0.750 at the same 12k-step budget, with "
                   "the same ULP tie-flip seed noise. Opt out with `--f32`.",
                   ""]
+        # the round-4/5 default numerics changed twice after the original
+        # bf16 promotion evidence (searchsorted ball-query deposit,
+        # promise_in_bounds fusion regrouping, decoder LayerNorm eps pinned
+        # to torch's 1e-5) — when the pre-change curves are on disk, show
+        # the re-validation side by side (VERDICT r4 ask #5)
+        prev_path = "docs/convergence_curve_bf16_r3.json"
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev = json.load(f)
+            pbest = {s: max(c["f1"] for c in prev["curves"][str(s)])
+                     for s in prev["seeds"]}
+            pbests = " / ".join(f"{pbest[s]:.3f}" for s in prev["seeds"])
+            lines += ["## Re-validation at the current default numerics",
+                      "",
+                      "The kernels and defaults changed after the original "
+                      "promotion run (round 3): the searchsorted ball-query "
+                      "rank deposit, `promise_in_bounds` gathers (XLA "
+                      "fusion regrouping), and the decoder LayerNorm eps "
+                      "pinned to torch's 1e-5. The table above is a fresh "
+                      "run at the current defaults; the round-3 curves are "
+                      f"preserved in `{prev_path}`:",
+                      "",
+                      "| | " + " | ".join(f"best F1 s{s}"
+                                          for s in prev["seeds"])
+                      + " | median |",
+                      "|---" * (len(prev["seeds"]) + 2) + "|",
+                      f"| round 3 (promotion run) | {pbests.replace(' / ', ' | ')} | "
+                      f"{np.median(list(pbest.values())):.3f} |",
+                      f"| current defaults | {bests.replace(' / ', ' | ')} | "
+                      f"{np.median(list(best.values())):.3f} |",
+                      ""]
     else:
         lines += ["",
                   "## Extended single-seed run (12000 steps, round 2)",

@@ -229,7 +229,10 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
             f1 = held_out_f1(ev, state, val_dev, val_np)
             rec = {"step": i + 1, "f1": f1,
                    "loss": float(stats["total_loss"])}
-            if flags.arkit:  # evidence the omni-supervised term is engaged
+            # evidence the omni-supervised term is engaged (absent during a
+            # fine-tune arm's supervised pretrain phase, which runs the
+            # plain sup step)
+            if flags.arkit and "arkit_pc_loss" in stats:
                 rec["arkit_pc_loss"] = float(stats["arkit_pc_loss"])
                 rec["arkit_collisions"] = float(stats["arkit_collisions"])
             if flags.gamma_mixture and "gamma_engaged_frac" in stats:
