@@ -53,8 +53,13 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     cfg = ModelConfig(
         compute_dtype=("float32" if os.environ.get("OMNI_PQ_F32") == "1"
-                       else "bfloat16"))
-    log("compute_dtype:", cfg.compute_dtype)
+                       else "bfloat16"),
+        # OMNI_PQ_FUSE=1 routes the SA layers through the fused Pallas
+        # kernel's single-phase eval-mode variant (ops/fused_mlp.py) — the
+        # grad-free running-stats forward is the one configuration where
+        # the kernel's byte cut has no stats-recompute overhead
+        fused_sa=os.environ.get("OMNI_PQ_FUSE") == "1")
+    log("compute_dtype:", cfg.compute_dtype, "fused_sa:", cfg.fused_sa)
     B = 16  # reference eval batch (eval.sh)
     NB = 4 if on_tpu else 1
     N = cfg.num_points if on_tpu else 4096
@@ -124,6 +129,7 @@ def main():
     # source; quad_topk=64 additionally keeps only the 64 most confident
     # quads (lossless for F1 whenever the count above the 0.5 gate fits —
     # a trained model's case; see make_eval_decode_step)
+    fetched_by_mode = {}
     for mode, kw in (("quad_only", dict(include_obj=False)),
                      ("quad_topk64", dict(include_obj=False, quad_topk=64))):
         step = make_eval_decode_step(model, mean_sizes, **kw)
@@ -133,9 +139,9 @@ def main():
         best = float("inf")
         for _ in range(3 if on_tpu else 1):
             t0 = time.time()
-            for b in batches:
-                run_batch(b, False, step)
+            out = [run_batch(b, False, step) for b in batches]
             best = min(best, (time.time() - t0) / NB * 1e3)
+        fetched_by_mode[mode] = out
         dev_ms[mode] = best
         log("device %s+fetch: %.1f ms/batch" % (mode, best))
 
@@ -180,6 +186,22 @@ def main():
             parse_quad_groundtruths(merged, config_dict)
         qdec_ms = min(qdec_ms, (time.time() - t0) / NB * 1e3)
     log("host decode (quad only): %.1f ms/batch" % qdec_ms)
+
+    # topk host decode timed on the ACTUALLY topk-packed arrays (64 rows,
+    # not 256 — the NMS/corner stage shrinks with the kept count)
+    tdec_ms = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for batch, (obj, quad, vec) in zip(batches,
+                                           fetched_by_mode["quad_topk64"]):
+            ep = unpack_eval_outputs(None, quad, cfg.num_heading_bin,
+                                     cfg.num_size_cluster, cfg.num_class)
+            merged = dict(ep)
+            merged.update(batch)
+            parse_quad_predictions(merged, config_dict, "last_")
+            parse_quad_groundtruths(merged, config_dict)
+        tdec_ms = min(tdec_ms, (time.time() - t0) / NB * 1e3)
+    log("host decode (quad topk64): %.1f ms/batch" % tdec_ms)
 
     # pipelined streaming: dispatch batch i+1 BEFORE fetching + decoding
     # batch i — JAX dispatch is async, so the host decode of batch i can
@@ -243,8 +265,9 @@ def main():
         "quad_only_scenes_per_sec": round(
             B / ((dev_ms["quad_only"] + qdec_ms) / 1e3), 2),
         "quad_topk64_ms_per_batch": round(dev_ms["quad_topk64"], 1),
+        "quad_topk64_decode_ms_per_batch": round(tdec_ms, 1),
         "quad_topk64_scenes_per_sec": round(
-            B / ((dev_ms["quad_topk64"] + qdec_ms) / 1e3), 2),
+            B / ((dev_ms["quad_topk64"] + tdec_ms) / 1e3), 2),
         "final_metrics_s": round(final_s, 2),
         "compute_dtype": cfg.compute_dtype,
         "note": "random-init worst case: every proposal survives NMS",
