@@ -255,6 +255,46 @@ class TestArkit:
         loss, col = losses.get_arkit_pc_loss(ep, weak)
         assert np.isfinite(float(loss)) and float(loss) >= 0
 
+    @staticmethod
+    def _perfect_room_ep(shift_xy):
+        """Double-batch end_points whose weak half predicts the 4 walls of a
+        2x2x2 room centered at (shift_xy, z in [0,2]) EXACTLY, plus the weak
+        object-box labels of one unit box in the middle of that room."""
+        sx, sy = shift_xy
+        qc = np.array([[1, 0, 1], [-1, 0, 1], [0, 1, 1], [0, -1, 1]],
+                      np.float32) + np.array([sx, sy, 0], np.float32)
+        nv = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0]],
+                      np.float32)  # outward; the loss orients them itself
+        qs = np.full((4, 2), 1.0, np.float32)  # half-extent 1 (2 m walls)
+        sc = np.tile(np.array([0.0, 10.0], np.float32), (4, 1))  # confident
+        ep = {"last_quad_center": jnp.asarray(np.stack([qc, qc])),
+              "last_normal_vector": jnp.asarray(np.stack([nv, nv])),
+              "last_quad_size": jnp.asarray(np.stack([qs, qs])),
+              "last_quad_scores": jnp.asarray(np.stack([sc, sc]))}
+        weak = {"center_label": jnp.asarray([[[sx, sy, 0.5]]], jnp.float32),
+                "size_label": jnp.asarray([[[1.0, 1.0, 1.0]]], jnp.float32),
+                "num_gt_boxes": jnp.asarray([1])}
+        return ep, weak
+
+    def test_pseudo_center_assumes_origin_centered_scenes(self):
+        """The loss orients predicted normals toward a pseudo scene center
+        HARDCODED at (0,0,1) (arkit_loss_util.py:39). On an origin-centered
+        room, perfect wall predictions incur zero loss; translate the same
+        room off-origin (as real un-centered data would be) and near-side
+        wall normals flip OUTWARD, so the interior box corners are penalized
+        even though every prediction is exact. This is why the reference
+        centers ARKit scenes on the cloud's median xy at load time
+        (arkitscenes_dataset.py:109-118) and why any data fed to this loss
+        must be centered too (root cause of the round-5 A/B arkit-arm
+        collapse; scripts/semi_sup_ab.py arkit_centered)."""
+        ep0, weak0 = self._perfect_room_ep((0.0, 0.0))
+        loss0, col0 = losses.get_arkit_pc_loss(ep0, weak0)
+        assert float(loss0) == 0.0 and float(col0) == 0.0
+
+        ep2, weak2 = self._perfect_room_ep((2.0, 2.0))
+        loss2, col2 = losses.get_arkit_pc_loss(ep2, weak2)
+        assert float(loss2) > 0.1 and float(col2) >= 4
+
 
 class TestGammaReferencePar:
     def test_em_vs_reference_scipy_fit(self):
