@@ -129,6 +129,12 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
     loss_sums: dict = {}
     loss_batches = 0
     _LOSS_KEYS = ("vote_label", "center_label", "gt_quad_centers")
+    # --eval_quad_topk losslessness check (see make_eval_decode_step): rows
+    # are confidence-sorted, so truncation can only drop F1 corners when the
+    # LAST KEPT row still clears the strict QUAD_THRES gate. Counted per
+    # scene here, warned once per eval pass below.
+    quad_topk = int(getattr(args, "eval_quad_topk", 0) or 0)
+    topk_overflow_scenes = 0
 
     def _unpack(obj, quad):
         return unpack_eval_outputs(
@@ -179,6 +185,11 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
                 use_ema=use_ema, with_loss=with_loss)
             ep = _unpack(None if obj is None else np.asarray(obj),
                          np.asarray(quad))
+            if quad_topk:
+                from ..evals.quad import softmax as _qsoftmax, QUAD_THRES
+                tail_prob = _qsoftmax(
+                    np.asarray(ep["last_quad_scores"]))[:, -1, 1]
+                topk_overflow_scenes += int((tail_prob > QUAD_THRES).sum())
             if vec is not None:
                 for k, v in zip(decode_step.stat_names, np.asarray(vec)):
                     loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
@@ -207,6 +218,13 @@ def evaluate(args, model, state, val_loader, dataset_config, logger,
 
     f1 = quad_calc.compute_F1(calculated=True)
     tag = "ema" if use_ema else "student"
+    if quad_topk and topk_overflow_scenes:
+        logger.warning(
+            f"[eval:{tag}] --eval_quad_topk {quad_topk} truncated "
+            f"above-gate proposals in {topk_overflow_scenes} scene evals "
+            f"(the lowest kept row still cleared the 0.5 confidence gate) "
+            f"— quad F1 is a LOWER BOUND this pass; raise --eval_quad_topk "
+            f"or set it to 0")
     if loss_batches:
         means = {k: v / loss_batches for k, v in sorted(loss_sums.items())}
         shown = {k: means[k] for k in ("loss", "vote_loss", "objectness_loss",

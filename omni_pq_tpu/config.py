@@ -121,8 +121,11 @@ class ModelConfig:
     # benchmarks/TUNING.md) the full train step REGRESSED 94.4 -> 110.9
     # ms/step — the backward remat re-materializes exactly the bytes the
     # forward saved, and the multi-phase recompute is pure overhead on top.
-    # Grad-free forwards (EMA teacher, eval) use the fused path where it
-    # measures faster (see make_train_step / make_eval_* wiring).
+    # There is NO separate grad-free wiring: this one flag routes every
+    # forward (student, EMA teacher, eval) through the kernel, so the
+    # default stays OFF until a grad-free case measures a win
+    # (OMNI_PQ_FUSE=1 on scripts/bench_eval.py / bench.py flips it for a
+    # measurement run).
     fused_sa: bool = False
     # Deviation from the reference (documented): QuadPredictHead normalizes
     # predicted normals per-vector. The reference divides by the *global*

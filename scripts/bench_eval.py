@@ -173,11 +173,14 @@ def main():
         dec_ms = min(dec_ms, (time.time() - t0) / NB * 1e3)
     log("host decode: %.1f ms/batch" % dec_ms)
 
-    # quad-only host decode (the reference eval.py's metric set)
+    # quad-only host decode (the reference eval.py's metric set), timed on
+    # the arrays the quad_only mode actually fetched — not the full-mode
+    # copies — so a future mode-dependent quad packing stays measured
     qdec_ms = float("inf")
     for _ in range(2):
         t0 = time.time()
-        for batch, (obj, quad, vec) in zip(batches, fetched):
+        for batch, (obj, quad, vec) in zip(batches,
+                                           fetched_by_mode["quad_only"]):
             ep = unpack_eval_outputs(None, quad, cfg.num_heading_bin,
                                      cfg.num_size_cluster, cfg.num_class)
             merged = dict(ep)

@@ -200,9 +200,16 @@ def write_doc(curves, seeds, curve):
         if os.path.exists(prev_path):
             with open(prev_path) as f:
                 prev = json.load(f)
-            pbest = {s: max(c["f1"] for c in prev["curves"][str(s)])
+            pbest = {int(s): max(c["f1"] for c in prev["curves"][str(s)])
                      for s in prev["seeds"]}
-            pbests = " / ".join(f"{pbest[s]:.3f}" for s in prev["seeds"])
+            # column set = union of the two runs' seeds, so a fresh run
+            # with CONV_SEEDS != the round-3 set can't shift its cells
+            # under the wrong header
+            all_seeds = sorted(set(pbest) | set(int(s) for s in seeds))
+
+            def _row(vals):
+                return " | ".join(f"{vals[s]:.3f}" if s in vals else "—"
+                                  for s in all_seeds)
             lines += ["## Re-validation at the current default numerics",
                       "",
                       "The kernels and defaults changed after the original "
@@ -214,12 +221,12 @@ def write_doc(curves, seeds, curve):
                       f"preserved in `{prev_path}`:",
                       "",
                       "| | " + " | ".join(f"best F1 s{s}"
-                                          for s in prev["seeds"])
+                                          for s in all_seeds)
                       + " | median |",
-                      "|---" * (len(prev["seeds"]) + 2) + "|",
-                      f"| round 3 (promotion run) | {pbests.replace(' / ', ' | ')} | "
+                      "|---" * (len(all_seeds) + 2) + "|",
+                      f"| round 3 (promotion run) | {_row(pbest)} | "
                       f"{np.median(list(pbest.values())):.3f} |",
-                      f"| current defaults | {bests.replace(' / ', ' | ')} | "
+                      f"| current defaults | {_row(best)} | "
                       f"{np.median(list(best.values())):.3f} |",
                       ""]
     else:

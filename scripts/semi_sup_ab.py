@@ -47,7 +47,9 @@ pretrain -> teacher backfill -> semi phase at full consistency weight).
 
 Run (TPU host):  python scripts/semi_sup_ab.py
 Env: AB_STEPS (6000), AB_EVAL_EVERY (500), AB_SEEDS ("0,1,2"),
-     AB_ARMS ("sup,ema,gamma"), AB_OUT (docs/semi_sup_ab.json)
+     AB_ARMS ("sup,ema,gamma"), AB_OUT (defaults by protocol:
+     docs/semi_sup_ab.json for scratch arms, docs/semi_sup_ab_ft.json for
+     _ft arms; required explicitly when AB_ARMS mixes the two)
 """
 import json
 import os
@@ -81,7 +83,18 @@ STEPS = int(os.environ.get("AB_STEPS", 6000))
 EVAL_EVERY = int(os.environ.get("AB_EVAL_EVERY", 500))
 SEEDS = [int(s) for s in os.environ.get("AB_SEEDS", "0,1,2").split(",")]
 ARMS = os.environ.get("AB_ARMS", "sup,ema,gamma").split(",")
-OUT = os.environ.get("AB_OUT", "docs/semi_sup_ab.json")
+# Route results by protocol so scripts/semi_sup_report.py (which reads the
+# two protocol files BY NAME) can never render fine-tune runs under
+# "Protocol A": _ft arms default to the ft JSON, scratch arms to the scratch
+# JSON, and mixing protocols in one invocation requires an explicit AB_OUT.
+OUT = os.environ.get("AB_OUT")
+if OUT is None:
+    _ft_arms = [a for a in ARMS if a.endswith("_ft")]
+    if _ft_arms and len(_ft_arms) != len(ARMS):
+        raise SystemExit("AB_ARMS mixes scratch and _ft protocols; "
+                         "set AB_OUT explicitly")
+    OUT = ("docs/semi_sup_ab_ft.json" if _ft_arms
+           else "docs/semi_sup_ab.json")
 
 N_LABELED, N_WEAK, N_VAL = 4, 16, 8
 BS = 3  # labeled batch (train.sh batch_size); weak batch equals it
@@ -216,8 +229,9 @@ def make_fused_step(inner_step, n_labeled, n_weak, semi):
 def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
     cfg = ModelConfig()
     model = PQTransformer(cfg)
-    finetune_name = arm[:-3] if arm.endswith("_ft") else arm
-    if finetune_name == "arkit_centered":
+    finetune = arm.endswith("_ft")
+    base_arm = arm[:-3] if finetune else arm
+    if base_arm == "arkit_centered":
         # the reference ARKit data protocol: scenes straddle the origin
         # (arkitscenes_dataset.py:109-118) — applied to ALL pools so the
         # arm is self-consistent; F1 is translation-invariant so the
@@ -226,7 +240,7 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
         weak_pool = _center_pool(weak_pool)
         val_np = _center_pool(val_np)
         val_dev = jnp.asarray(val_np["point_clouds"])
-    if finetune_name in ("arkit", "arkit_centered"):
+    if base_arm in ("arkit", "arkit_centered"):
         # ARKit train split carries NO quad annotations — zero them so the
         # weak half is shape-identical to arkitscenes_dataset.py's output
         # and nothing can leak (no loss reads them today; this pins it)
@@ -239,8 +253,6 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
     state = create_train_state(
         variables, OptimizerConfig(total_steps=STEPS, learning_rate=2e-3),
         ema=True)
-    finetune = arm.endswith("_ft")
-    base_arm = arm[:-3] if finetune else arm
     flags = ARM_FLAGS[base_arm]
     inner = make_train_step(model, cfg, SCANNET_MEAN_SIZES, flags,
                             donate=False)
