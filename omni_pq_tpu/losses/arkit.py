@@ -6,6 +6,14 @@ flipped to point toward the pseudo scene center (0,0,1), then box corners
 falling outside a confident quad's plane are penalized via the same
 projection2d geometry as the supervised pc loss. The reference's per-scene /
 per-quad Python loops become one masked (B, Q, P) computation.
+
+DATA CONTRACT: the hardcoded pseudo center assumes scenes are roughly
+ORIGIN-CENTERED — on an off-origin room, near-side wall normals flip
+outward and perfect predictions are penalized (regression-tested in
+tests/test_losses.py::test_pseudo_center_assumes_origin_centered_scenes;
+root cause of the round-5 A/B arkit-arm collapse, docs/SEMI_SUP.md). The
+reference satisfies it by re-centering labels on the scene's median xy at
+load time (arkitscenes_dataset.py:102-121), as does data/arkitscenes.py.
 """
 from __future__ import annotations
 
