@@ -288,8 +288,11 @@ def run_arm(arm, seed, labeled_pool, weak_pool, val_dev, val_np):
             state = state.replace(
                 ema_params=jax.tree.map(jnp.copy, state.params),
                 ema_batch_stats=jax.tree.map(jnp.copy, state.batch_stats))
+            phase = ("semi-supervised phase begins"
+                     if (flags.ema or flags.gamma_mixture or flags.arkit)
+                     else "supervised fine-tune phase continues (baseline)")
             print(f"  [{arm} s{seed}] step {i}: teacher backfilled, "
-                  "semi-supervised phase begins", flush=True)
+                  f"{phase}", flush=True)
         use = sup_step if (finetune and i < PRETRAIN) else step
         state, stats, key, istep = use(state, labeled_pool, weak_pool,
                                        cw_sched, key, istep)
